@@ -1,0 +1,62 @@
+"""Runtime configuration.
+
+The reference hardcodes physics/domain constants at compile time
+(src/cell.h:5-7, src/cell.cu:3-5) and takes 8 positional CLI args
+(README.md:21-33, src/main.cu:10-24).  Here both live in one dataclass; the
+CLI (cli.py) fills the run-shaped fields and everything else defaults to the
+reference's values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from . import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    # ---- run-shaped parameters (the reference's 8-arg CLI contract) ----
+    init_n: int = 10_000
+    capacity: int = 100_000            # "max n"
+    poisson_steps: int = 20            # "max t"
+    poisson_timestep: int = 10         # mobility steps per Poisson step
+    scheduler: str = "naive"           # naive | sync | dynamic | dynamic_old
+    verbose: int = 0                   # log cadence (0 = off)
+    block_size: int = 256              # tile-size hint (reference block size)
+    sleep_time_ns: int = 0             # accepted for CLI parity; unused on TPU
+
+    # ---- physics / domain (reference compile-time constants) ----
+    grid_size: Tuple[int, int, int] = constants.DEFAULT_GRID_SIZE
+    cell_size: float = constants.DEFAULT_CELL_SIZE
+    mobility_dt: float = constants.DEFAULT_MOBILITY_DT
+    seed: int = constants.DEFAULT_SEED
+    cross_section_path: str = ""       # "" -> bundled sine-modulated table
+
+    # ---- numerics / engine knobs (new-framework-only) ----
+    # Max children one particle may spawn within a single Poisson step when
+    # running the fused Pallas engine (per-lane child buffer depth).
+    spawn_depth: int = 8
+    # dtype for positions/velocities: "f32" (TPU) or "f64" (CPU oracle runs).
+    precision: str = "f32"
+
+    @property
+    def sim_size(self) -> Tuple[float, float, float]:
+        return tuple(g * self.cell_size for g in self.grid_size)
+
+    @property
+    def electric_force_constant(self) -> float:
+        return constants.electric_force_constant(self.cell_size)
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+SCHEDULER_MODES = {
+    # reference CLI mode string -> scheduler name (src/main.cu:26-40)
+    "30": "dynamic",
+    "31": "sync",
+    "32": "naive",
+    "33": "dynamic_old",
+}

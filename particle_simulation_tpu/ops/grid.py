@@ -1,0 +1,93 @@
+"""Charge-grid operations: deposition, field, gather.
+
+Reference (src/grid_operations.cu):
+  * particlesToGrid: each particle atomically adds +1 to its cell's charge
+    count (:15-26).  TPU equivalent: one vectorized scatter-add histogram —
+    no atomics needed, XLA guarantees deterministic accumulation.
+  * updateGrid + gridToParticles: per-cell acceleration = (charge[+1] -
+    charge[-1]) per axis * Electric_Force_Constant with missing neighbours
+    treated as absent at the boundary (:29-56), then nearest-cell gather
+    (:59-72).  We fuse these: the acceleration grid (1.5 GB at 512^3) is
+    never materialized — each particle gathers its six neighbour charges
+    directly and forms the field in registers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cell_indices(pos, cell_size, grid_size):
+    """Integer cell coordinates; trunc(pos/cell_size) like the C cast
+    (src/grid_operations.cu:20-23).  Positions are in-bounds by protocol
+    (grid ops run on freshly compacted, alive particles)."""
+    inv = 1.0 / cell_size
+    idx = (pos * jnp.asarray(inv, pos.dtype)).astype(jnp.int32)
+    # Clamp defensively: an exactly-boundary float could truncate to G.
+    maxes = jnp.asarray(grid_size, jnp.int32) - 1
+    return jnp.clip(idx, 0, maxes)
+
+
+def flatten_cells(ix, iy, iz, grid_size):
+    gx, gy, gz = grid_size
+    return (ix * gy + iy) * gz + iz
+
+
+def deposit(pos, weight, cell_size, grid_size):
+    """Histogram particle counts into a flat (gx*gy*gz,) int32 charge grid.
+
+    ``weight`` is 1 for live particles and 0 for empty/padding slots.
+    """
+    gx, gy, gz = grid_size
+    idx = cell_indices(pos, cell_size, grid_size)
+    flat = flatten_cells(idx[:, 0], idx[:, 1], idx[:, 2], grid_size)
+    charge = jnp.zeros((gx * gy * gz,), jnp.int32)
+    return charge.at[flat].add(weight.astype(jnp.int32))
+
+
+def gather_acceleration(charge_flat, pos, weight, cell_size, grid_size, e_const):
+    """Per-particle field: E * (charge at +1 neighbour − charge at −1
+    neighbour) along each axis, with out-of-grid neighbours contributing 0.
+
+    Fuses the reference's updateGrid stencil (src/grid_operations.cu:29-56)
+    with its gridToParticles gather (:59-72).
+    """
+    gx, gy, gz = grid_size
+    idx = cell_indices(pos, cell_size, grid_size)
+    fdt = jnp.float64 if pos.dtype == jnp.float64 else jnp.float32
+
+    def neighbour_charge(axis, delta):
+        shifted = idx.at[:, axis].add(delta)
+        coord = shifted[:, axis]
+        valid = (coord >= 0) & (coord < grid_size[axis])
+        c = jnp.clip(coord, 0, grid_size[axis] - 1)
+        shifted = shifted.at[:, axis].set(c)
+        flat = flatten_cells(shifted[:, 0], shifted[:, 1], shifted[:, 2], grid_size)
+        return jnp.where(valid, charge_flat[flat], 0)
+
+    comps = []
+    for axis in range(3):
+        diff = neighbour_charge(axis, +1) - neighbour_charge(axis, -1)
+        comps.append(diff.astype(fdt) * jnp.asarray(e_const, fdt))
+    acc = jnp.stack(comps, axis=1).astype(jnp.float32)
+    return jnp.where(weight[:, None] > 0, acc, 0.0)
+
+
+def field_grid(charge_flat, grid_size, e_const):
+    """Materialize the full acceleration grid (gx,gy,gz,3) float32 — the
+    reference's updateGrid output.  Used by tests and diagnostics only; the
+    hot path uses gather_acceleration."""
+    gx, gy, gz = grid_size
+    c = charge_flat.reshape(gx, gy, gz).astype(jnp.float32)
+    zeros = jnp.zeros_like(c)
+
+    def diff(axis):
+        up = jnp.concatenate(
+            [jnp.take(c, jnp.arange(1, c.shape[axis]), axis=axis),
+             jnp.take(zeros, jnp.arange(1), axis=axis)], axis=axis)
+        down = jnp.concatenate(
+            [jnp.take(zeros, jnp.arange(1), axis=axis),
+             jnp.take(c, jnp.arange(c.shape[axis] - 1), axis=axis)], axis=axis)
+        return (up - down) * jnp.float32(e_const)
+
+    return jnp.stack([diff(0), diff(1), diff(2)], axis=-1)

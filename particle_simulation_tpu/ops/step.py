@@ -1,0 +1,116 @@
+"""Jitted simulation steps: the vectorized (pure-JAX/XLA) engine.
+
+This is the oracle/reference engine of the new framework: the whole mobility
+phase of one Poisson step runs on-device inside a single jitted
+``lax.fori_loop`` — the TPU counterpart of keeping the phase inside one
+kernel launch, which is the entire point of the reference's Dynamic
+scheduler (src/pic.cu:70-211 and SURVEY.md §3.1).
+
+Scheduler cadences (see schedulers.py) and the fused Pallas engine produce
+bit-identical physics because every draw is a pure function of particle
+genealogy (rng.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..constants import STATUS_DEAD
+from ..state import SimState
+from . import grid as grid_ops
+from . import population
+from .physics import Particles
+
+
+def state_to_particles(state: SimState) -> Particles:
+    return Particles(
+        px=state.pos[:, 0], py=state.pos[:, 1], pz=state.pos[:, 2],
+        vx=state.vel[:, 0], vy=state.vel[:, 1], vz=state.vel[:, 2],
+        ax=state.acc[:, 0], ay=state.acc[:, 1], az=state.acc[:, 2],
+        status=state.status, id_hi=state.id_hi, id_lo=state.id_lo,
+    )
+
+
+def particles_to_state(state: SimState, p: Particles) -> SimState:
+    return state._replace(
+        pos=jnp.stack([p.px, p.py, p.pz], axis=1),
+        vel=jnp.stack([p.vx, p.vy, p.vz], axis=1),
+        acc=jnp.stack([p.ax, p.ay, p.az], axis=1),
+        status=p.status, id_hi=p.id_hi, id_lo=p.id_lo,
+    )
+
+
+def make_table_lookup(table: jnp.ndarray):
+    from ..cross_section import energy_to_index
+
+    def lookup(energy):
+        idx = energy_to_index(energy)
+        row = table[idx]
+        return row[..., 0], row[..., 1]
+
+    return lookup
+
+
+def active_mask(status, t):
+    """A particle moves at mobility step t iff it is live and was spawned
+    before step t (children spawned at t start at t+1; reference
+    src/pic.cu:218 `start_t = max(1, timestamp + 1)`)."""
+    return population.is_live(status) & (t > jnp.maximum(status, 0))
+
+
+def grid_phase(state: SimState, config: SimConfig) -> SimState:
+    """Deposit charge, compute field at particle cells, store acceleration.
+
+    Replaces resetGrid/particlesToGrid/updateGrid/gridToParticles
+    (src/grid_operations.cu) with histogram + fused stencil-gather; the
+    acceleration then stays frozen for the whole mobility phase, as in the
+    reference (field computed once per Poisson step, src/pic.cu:497-503).
+    """
+    slot = jnp.arange(state.capacity, dtype=jnp.int32)
+    weight = (population.is_live(state.status) & (slot < state.n_clamped)).astype(
+        jnp.int32
+    )
+    charge = grid_ops.deposit(state.pos, weight, config.cell_size, config.grid_size)
+    acc = grid_ops.gather_acceleration(
+        charge, state.pos, weight, config.cell_size, config.grid_size,
+        config.electric_force_constant,
+    )
+    return state._replace(acc=acc)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def poisson_step(
+    state: SimState, poisson_index, table, config: SimConfig
+) -> Tuple[SimState, dict]:
+    """One full Poisson step: grid phase -> mobility phase (per the
+    configured scheduler cadence) -> compaction.
+
+    Mirrors the body of the reference's outer loop (src/pic.cu:487-560).
+    Returns (new_state, metrics).
+    """
+    from ..schedulers import get_mobility_phase
+
+    state = grid_phase(state, config)
+    n_start = state.n_clamped
+
+    state = get_mobility_phase(config.scheduler)(
+        state, poisson_index, table, config
+    )
+
+    n_after = state.n
+    overflow = n_after > state.capacity
+    added = state.n_clamped - n_start
+    compacted = population.compact(state)
+    removed = state.n_clamped - compacted.n
+    metrics = {
+        "n": compacted.n,
+        "added": added,
+        "removed": removed,
+        "overflow": overflow,
+    }
+    return compacted, metrics

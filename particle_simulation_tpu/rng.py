@@ -1,0 +1,111 @@
+"""Counter-based, genealogy-keyed RNG.
+
+The reference (src/random.cu:3-5) carries one 48-byte cuRAND XORWOW state per
+particle *slot* (seed 39587, sequence = slot index) so that physics is
+independent of which scheduler executes a particle.  On TPU we go further and
+make physics independent of *slot assignment entirely*: every particle carries
+a 64-bit ``rng id`` derived from its genealogy —
+
+  * initial particle ``i``:      id = threefry(key=(seed, GOLDEN), ctr=(0, i))
+  * child of particle with id r, spawned at Poisson step p, mobility step t:
+                                 id = threefry(key=r, ctr=(p, t))
+
+and every uniform draw is a pure function of (id, poisson_step, mobility_step).
+Any execution order / compaction cadence / sharding therefore yields
+bit-identical physics — the property the reference's scheduler-equivalence
+unit test (src/test.cu:43-101) exists to check.
+
+The hash is the standard Threefry-2x32 block cipher (Salmon et al., SC'11),
+implemented here directly in uint32 jnp ops so the *same code* runs in traced
+JAX, inside Pallas TPU kernels, and on CPU — guaranteeing bit-exactness
+between the pure-JAX oracle path and the fused Pallas engine.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+GOLDEN = 0x9E3779B9  # 2^32 / golden ratio; arbitrary domain-separation word.
+_KS_PARITY = 0x1BD11BDA
+# Threefry-2x32 rotation schedule.
+_ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
+
+# Setup-phase counter namespace (must not collide with (poisson_step, mob_step)
+# pairs, which always have mob_step >= 1 in the hot loop or counter word 0).
+SETUP_CTR = 0xFFFFFFFF
+
+
+def _rotl(x, r: int):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def threefry2x32(key0, key1, ctr0, ctr1, rounds: int = 20):
+    """Threefry-2x32 with the standard 20 rounds.
+
+    All inputs are uint32 arrays (broadcastable); returns two uint32 arrays.
+    """
+    k0 = jnp.asarray(key0, jnp.uint32)
+    k1 = jnp.asarray(key1, jnp.uint32)
+    k2 = k0 ^ k1 ^ jnp.uint32(_KS_PARITY)
+    x0 = jnp.asarray(ctr0, jnp.uint32) + k0
+    x1 = jnp.asarray(ctr1, jnp.uint32) + k1
+
+    ks = (k0, k1, k2)
+    for r in range(rounds):
+        x0 = x0 + x1
+        x1 = _rotl(x1, _ROTATIONS[r % 8])
+        x1 = x1 ^ x0
+        if (r + 1) % 4 == 0:
+            inject = (r + 1) // 4
+            x0 = x0 + ks[inject % 3]
+            x1 = x1 + ks[(inject + 1) % 3] + jnp.uint32(inject)
+    return x0, x1
+
+
+def uniform_from_bits(bits, lo: float = 0.0, hi: float = 1.0):
+    """Map uint32 bits to float32 uniform in [lo, hi).
+
+    Uses the top 24 bits so every value is exactly representable in f32,
+    mirroring curand_uniform's granularity (reference src/random.cu:7-12 then
+    scales to [min, max)).
+    """
+    u01 = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+    return u01 * jnp.float32(hi - lo) + jnp.float32(lo)
+
+
+def initial_ids(seed: int, slots):
+    """64-bit genealogy ids for initial particles at global slots `slots`."""
+    s = jnp.asarray(slots, jnp.uint32)
+    return threefry2x32(jnp.uint32(seed), jnp.uint32(GOLDEN), jnp.zeros_like(s), s)
+
+
+def child_ids(parent_hi, parent_lo, poisson_step, mob_step):
+    """Derive a child's 64-bit id from its parent's id and spawn time."""
+    p = jnp.asarray(poisson_step, jnp.uint32)
+    t = jnp.asarray(mob_step, jnp.uint32)
+    return threefry2x32(parent_hi, parent_lo, p, t)
+
+
+def step_uniform(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
+    """The one uniform draw a particle makes per mobility step.
+
+    (Reference: collider's single randFloat(state, 0, 100),
+    src/particle_move.cu:57.)
+    """
+    b0, _ = threefry2x32(
+        id_hi ^ jnp.uint32(seed), id_lo, jnp.asarray(poisson_step, jnp.uint32),
+        jnp.asarray(mob_step, jnp.uint32),
+    )
+    return uniform_from_bits(b0, lo, hi)
+
+
+def setup_uniform(id_hi, id_lo, axis, lo, hi):
+    """Uniform draw for initial particle placement along one axis.
+
+    (Reference: setup_particles draws 3 floats per slot,
+    src/particle_move.cu:12-15.)
+    """
+    b0, _ = threefry2x32(
+        id_hi, id_lo, jnp.uint32(SETUP_CTR), jnp.asarray(axis, jnp.uint32)
+    )
+    return uniform_from_bits(b0, lo, hi)

@@ -1,0 +1,114 @@
+"""Scheduler cadences.
+
+The reference's four CUDA schedulers (Dynamic / CPU Sync / Naive / Dynamic
+Old, src/pic.cu:19-316) are different ways to execute the same behavioral
+spec: children spawned at mobility step t are themselves simulated from step
+t+1 within the same Poisson step, and results must be scheduler-independent.
+On TPU the spec survives as *cadence configs* over one masked-array design:
+
+  * ``naive``   — one vectorized pass per mobility step, children appended at
+                  end of each step (the reference Naive, src/pic.cu:251-288,
+                  which SURVEY.md §2 marks as the natural XLA fit);
+  * ``sync``    — generation fixed-point: simulate the current slot range
+                  through all remaining steps, then newly spawned ranges,
+                  until no new particles appear (the reference CPU Sync,
+                  src/pic.cu:214-248, 514-522) — the parity oracle;
+  * ``dynamic`` — the fused Pallas push+MCC engine (ops/pallas/push_mcc.py),
+                  this framework's performance contribution, analogous in
+                  role to the thesis's Dynamic scheduler;
+  * ``dynamic_old`` — retained as a named config for the reference's test
+                  matrix (src/test.cu:47); runs the sync cadence.
+
+All cadences are bit-identical in physics because draws are keyed by particle
+genealogy (rng.py), not by execution order — the multiset of final particles
+matches exactly (the reference's runUnitTest sorts and compares,
+src/test.cu:43-101; tests/test_schedulers.py does the same).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .state import SimState
+from .ops import population
+from .ops.physics import StepResult, update_particles
+from .ops.step import (
+    active_mask,
+    make_table_lookup,
+    particles_to_state,
+    state_to_particles,
+)
+
+
+def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_hi):
+    """One mobility step restricted to slots in [range_lo, range_hi)."""
+    p = state_to_particles(state)
+    slot = jnp.arange(state.capacity, dtype=jnp.int32)
+    active = (
+        active_mask(p.status, t) & (slot >= range_lo) & (slot < range_hi)
+    )
+    res: StepResult = update_particles(
+        p, active=active, t=t, poisson_step=poisson_step,
+        dt=config.mobility_dt, sim_size=config.sim_size,
+        split_chance=None, remove_chance=None, seed=config.seed,
+        table_lookup=make_table_lookup(table),
+    )
+    state = particles_to_state(state, res.particles)
+    return population.append_children(state, res.spawn, res.child)
+
+
+def mobility_phase_naive(state: SimState, poisson_step, table, config: SimConfig):
+    """All live slots advance together, one fori_loop iteration per step."""
+
+    def body(t, st):
+        return _one_step(st, t, poisson_step, table, config, 0, st.n_clamped)
+
+    return jax.lax.fori_loop(1, config.poisson_timestep + 1, body, state)
+
+
+def mobility_phase_sync(state: SimState, poisson_step, table, config: SimConfig):
+    """Generation fixed-point (reference CPU Sync): repeatedly simulate the
+    not-yet-finished slot range through the remaining steps until the
+    population stops growing.  Terminates in <= poisson_timestep generations
+    because a child spawned at step t only starts at t+1."""
+
+    def gen_cond(carry):
+        st, gen_lo = carry
+        return st.n_clamped > gen_lo
+
+    def gen_body(carry):
+        st, gen_lo = carry
+        gen_hi = st.n_clamped
+
+        def body(t, s):
+            return _one_step(s, t, poisson_step, table, config, gen_lo, gen_hi)
+
+        st = jax.lax.fori_loop(1, config.poisson_timestep + 1, body, st)
+        return st, gen_hi
+
+    state, _ = jax.lax.while_loop(
+        gen_cond, gen_body, (state, jnp.zeros((), jnp.int32))
+    )
+    return state
+
+
+def get_mobility_phase(name: str):
+    if name == "naive":
+        return mobility_phase_naive
+    if name in ("sync", "dynamic_old"):
+        return mobility_phase_sync
+    if name == "dynamic":
+        try:
+            from .ops.pallas.push_mcc import mobility_phase_dynamic
+        except ImportError:  # fused engine not available on this build
+            import warnings
+
+            warnings.warn(
+                "fused Pallas engine unavailable; 'dynamic' falling back "
+                "to the naive cadence (identical physics)"
+            )
+            return mobility_phase_naive
+        return mobility_phase_dynamic
+    raise ValueError(f"unknown scheduler {name!r}")

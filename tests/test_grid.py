@@ -1,0 +1,91 @@
+"""Grid ops (ops/grid.py) vs a straightforward numpy re-derivation of the
+reference semantics (src/grid_operations.cu)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from particle_simulation_tpu.constants import electric_force_constant
+from particle_simulation_tpu.ops import grid as g
+
+
+GRID = (8, 8, 8)
+CELL = 0.5
+
+
+def np_reference(pos, weight):
+    """Straight numpy transliteration of the *spec*: count per cell, then
+    acc = E*(c[+1]-c[-1]) per axis with absent neighbours = 0."""
+    charge = np.zeros(GRID, np.int64)
+    idx = (pos / CELL).astype(np.int64)
+    for p, w in zip(idx, weight):
+        if w:
+            charge[tuple(p)] += 1
+    e = electric_force_constant(CELL)
+    acc = np.zeros(pos.shape, np.float64)
+    for k, (p, w) in enumerate(zip(idx, weight)):
+        if not w:
+            continue
+        for ax in range(3):
+            up = p.copy(); up[ax] += 1
+            dn = p.copy(); dn[ax] -= 1
+            c_up = charge[tuple(up)] if up[ax] < GRID[ax] else 0
+            c_dn = charge[tuple(dn)] if dn[ax] >= 0 else 0
+            acc[k, ax] = (c_up - c_dn) * e
+    return charge, acc
+
+
+def test_deposit_and_gather_match_numpy_reference():
+    rng = np.random.default_rng(0)
+    n = 500
+    pos = rng.uniform(0, GRID[0] * CELL * 0.999, (n, 3)).astype(np.float32)
+    weight = (rng.uniform(size=n) < 0.8).astype(np.int32)
+
+    charge_np, acc_np = np_reference(pos.astype(np.float64), weight)
+    charge = g.deposit(jnp.asarray(pos), jnp.asarray(weight), CELL, GRID)
+    np.testing.assert_array_equal(
+        np.asarray(charge).reshape(GRID), charge_np
+    )
+    acc = g.gather_acceleration(
+        charge, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID,
+        electric_force_constant(CELL),
+    )
+    np.testing.assert_allclose(np.asarray(acc), acc_np, rtol=1e-6)
+
+
+def test_dead_slots_do_not_deposit():
+    pos = jnp.zeros((4, 3), jnp.float32)
+    weight = jnp.asarray([1, 0, 0, 1], jnp.int32)
+    charge = g.deposit(pos, weight, CELL, GRID)
+    assert int(charge.sum()) == 2
+    assert int(charge[0]) == 2  # both live particles in cell (0,0,0)
+
+
+def test_gather_matches_full_field_grid():
+    rng = np.random.default_rng(1)
+    n = 200
+    pos = rng.uniform(0, GRID[0] * CELL * 0.999, (n, 3)).astype(np.float32)
+    weight = np.ones(n, np.int32)
+    e = electric_force_constant(CELL)
+    charge = g.deposit(jnp.asarray(pos), jnp.asarray(weight), CELL, GRID)
+    acc = g.gather_acceleration(
+        charge, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
+    field = np.asarray(g.field_grid(charge, GRID, e))
+    idx = (pos / CELL).astype(np.int64)
+    np.testing.assert_allclose(
+        np.asarray(acc), field[idx[:, 0], idx[:, 1], idx[:, 2]], rtol=1e-6
+    )
+
+
+def test_field_direction_sign():
+    """A lone charge at cell (4,4,4): the cell below it in x (3,4,4) sees
+    positive x-field contribution (charge at its +1 neighbour), the cell
+    above (5,4,4) sees negative — reference updateGrid sign convention
+    (src/grid_operations.cu:40-43)."""
+    charge = jnp.zeros((8 * 8 * 8,), jnp.int32)
+    charge = charge.at[g.flatten_cells(4, 4, 4, GRID)].set(3)
+    field = np.asarray(g.field_grid(charge, GRID, 1.0))
+    assert field[3, 4, 4, 0] == 3.0
+    assert field[5, 4, 4, 0] == -3.0
+    assert field[4, 3, 4, 1] == 3.0
+    assert field[4, 4, 5, 2] == -3.0
+    assert field[4, 4, 4, 0] == 0.0

@@ -1,0 +1,83 @@
+"""End-to-end runtime, CLI contract, observability outputs."""
+
+import json
+import os
+import zlib
+
+import numpy as np
+
+from particle_simulation_tpu import SimConfig
+from particle_simulation_tpu.cli import parse_args
+from particle_simulation_tpu.config import SCHEDULER_MODES
+from particle_simulation_tpu.observability import (
+    CSV_HEADER,
+    render_particles,
+    write_png,
+    write_timing_csv,
+)
+from particle_simulation_tpu.runtime import run_pic
+
+
+def test_cli_positional_contract():
+    # ./run 30 VERBOSE INIT_N MAX_T BLOCK_SIZE MAX_N SLEEP POISSON_TS
+    mode, cfg = parse_args(
+        ["30", "2", "1000", "7", "128", "5000", "100", "9", "grid=16"]
+    )
+    assert mode == "30"
+    assert cfg.scheduler == "dynamic"
+    assert cfg.verbose == 2
+    assert cfg.init_n == 1000
+    assert cfg.poisson_steps == 7
+    assert cfg.block_size == 128
+    assert cfg.capacity == 5000
+    assert cfg.sleep_time_ns == 100
+    assert cfg.poisson_timestep == 9
+    assert cfg.grid_size == (16, 16, 16)
+    assert set(SCHEDULER_MODES) == {"30", "31", "32", "33"}
+
+
+def test_run_pic_end_to_end(tmp_path):
+    cfg = SimConfig(
+        init_n=100, capacity=2000, poisson_steps=2, poisson_timestep=4,
+        grid_size=(16, 16, 16), scheduler="naive",
+    )
+    hooks = []
+    run = run_pic(cfg, on_step=lambda t, s: hooks.append(t), print_header=False)
+    assert run.final_n >= 0
+    assert len(run.steps) <= 2
+    assert hooks == []  # verbose=0 -> no hook calls
+
+    cfg_v = cfg.replace(verbose=1)
+    run = run_pic(cfg_v, on_step=lambda t, s: hooks.append(t), print_header=False)
+    assert hooks  # hook fired
+
+
+def test_timing_csv_schema(tmp_path):
+    cfg = SimConfig(
+        init_n=50, capacity=500, poisson_steps=1, poisson_timestep=2,
+        grid_size=(16, 16, 16),
+    )
+    run = run_pic(cfg, print_header=False)
+    path = tmp_path / "out.csv"
+    write_timing_csv([run], str(path))
+    lines = path.read_text().strip().split("\n")
+    assert lines[0] == CSV_HEADER
+    fields = lines[1].split(",")
+    assert len(fields) == 9
+    assert fields[0] == "Naive"
+    assert int(fields[1]) == 50
+
+
+def test_png_writer_valid(tmp_path):
+    img = render_particles(
+        np.array([[0.5, 0.5, 0.0], [1.0, 2.0, 0.0]]), (5.12, 5.12, 5.12), 64
+    )
+    p = tmp_path / "snap.png"
+    write_png(str(p), img)
+    data = p.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode IDAT and verify dimensions from IHDR
+    assert data[12:16] == b"IHDR"
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    assert (w, h) == (64, 64)
