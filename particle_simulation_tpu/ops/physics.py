@@ -102,7 +102,9 @@ def update_particles(
     moved = leapfrog(p, dt)
     oob = out_of_bounds(moved, sim_size)
 
-    u = rng.step_uniform(seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0)
+    u, child_hi, child_lo = rng.step_draws(
+        seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0
+    )
     energy = collision_energy(moved)
     if table_lookup is not None:
         split_chance, remove_chance = table_lookup(energy)
@@ -111,8 +113,6 @@ def update_particles(
     splits = active & ~oob & (u < split_chance)
     dies_mcc = active & ~oob & ~splits & (u < split_chance + remove_chance)
     dies = (active & oob) | dies_mcc
-
-    child_hi, child_lo = rng.child_ids(p.id_hi, p.id_lo, poisson_step, t)
     t_i32 = jnp.asarray(t, jnp.int32)
     child = moved._replace(
         status=jnp.where(splits, t_i32, 0).astype(jnp.int32),

@@ -1,0 +1,163 @@
+"""Multi-chip particle sharding over an ICI mesh.
+
+The reference is single-GPU/single-process (no MPI/NCCL anywhere — SURVEY.md
+§2.3, §5.8); its only scaling axis is particle count within one card.  This
+module is the framework's distributed story, built the TPU way:
+
+  * 1-D device mesh, axis ``dp``; particle arrays sharded along the capacity
+    axis; the charge grid computed per-shard then ``psum``-reduced over ICI
+    so every chip holds the full (replicated) field — deposition is
+    position-indexed, not owner-computes, so particles never migrate;
+  * spawn/append/compaction are shard-local (each shard owns a disjoint slot
+    range and its own ``n``), so the mobility phase needs **zero**
+    communication; the only collective per Poisson step is one integer-grid
+    psum plus scalar metric psums;
+  * genealogy ids are seeded with disjoint per-shard slot offsets, so
+    determinism holds chip-count-independently: an N-chip run equals a
+    1-chip run on the union of shard populations.
+
+Weak scaling: capacity and init_n are per-chip-multiplied; BASELINE.json's
+"Multi-chip v5p-8 weak scaling to 1e8 particles" config maps to
+``capacity_per_shard=12_500_000`` on 8 chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..state import SimState, setup_particles, zero_state
+from ..ops import grid as grid_ops
+from ..ops import population
+from ..ops.step import grid_phase  # noqa: F401  (single-chip counterpart)
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("dp",))
+
+
+def shard_state(state: SimState, mesh: Mesh) -> SimState:
+    """Place a host-built state onto the mesh: arrays sharded on the
+    capacity axis, per-shard counts stacked into an (n_shards,) vector."""
+    sharded = NamedSharding(mesh, P("dp"))
+    put = lambda a: jax.device_put(a, sharded)
+    return SimState(
+        pos=put(state.pos), vel=put(state.vel), acc=put(state.acc),
+        status=put(state.status), id_hi=put(state.id_hi), id_lo=put(state.id_lo),
+        n=put(state.n),
+    )
+
+
+def setup_sharded(config: SimConfig, mesh: Mesh) -> SimState:
+    """Build the initial population directly in sharded form.
+
+    ``config.init_n`` and ``config.capacity`` are PER-SHARD; each shard
+    seeds its own particles with a disjoint genealogy slot range.
+    """
+    d = mesh.devices.size
+    shards = []
+    ns = []
+    for i in range(d):
+        s = setup_particles(config, slot_offset=i * config.capacity)
+        shards.append(s)
+        ns.append(s.n)
+    cat = lambda get: jnp.concatenate([get(s) for s in shards], axis=0)
+    stacked = SimState(
+        pos=cat(lambda s: s.pos), vel=cat(lambda s: s.vel),
+        acc=cat(lambda s: s.acc), status=cat(lambda s: s.status),
+        id_hi=cat(lambda s: s.id_hi), id_lo=cat(lambda s: s.id_lo),
+        n=jnp.stack(ns),
+    )
+    return shard_state(stacked, mesh)
+
+
+def sharded_poisson_step(mesh: Mesh, config: SimConfig):
+    """Build the jitted multi-chip Poisson step.
+
+    Returns step(state, poisson_index, table) -> (state, metrics) where the
+    state is the sharded layout produced by setup_sharded.
+    """
+    from ..schedulers import get_mobility_phase
+
+    mobility_phase = get_mobility_phase(config.scheduler)
+
+    def per_shard(state: SimState, poisson_index, table):
+        # state arrays here are the local shard; n is shape (1,)
+        state = state._replace(n=state.n[0])
+
+        # ---- grid phase: local deposit, psum over ICI, local gather ----
+        slot = jnp.arange(state.capacity, dtype=jnp.int32)
+        weight = (
+            population.is_live(state.status) & (slot < state.n_clamped)
+        ).astype(jnp.int32)
+        charge_local = grid_ops.deposit(
+            state.pos, weight, config.cell_size, config.grid_size
+        )
+        charge = jax.lax.psum(charge_local, "dp")
+        acc = grid_ops.gather_acceleration(
+            charge, state.pos, weight, config.cell_size, config.grid_size,
+            config.electric_force_constant,
+        )
+        state = state._replace(acc=acc)
+
+        # ---- mobility phase + compaction: fully shard-local ----
+        n_start = state.n_clamped
+        state = mobility_phase(state, poisson_index, table, config)
+        overflow_local = state.n > state.capacity
+        added = state.n_clamped - n_start
+        state = population.compact(state)
+        removed_local = n_start + added - state.n
+
+        metrics = {
+            "n": jax.lax.psum(state.n, "dp"),
+            "added": jax.lax.psum(added, "dp"),
+            "removed": jax.lax.psum(removed_local, "dp"),
+            "overflow": jax.lax.psum(overflow_local.astype(jnp.int32), "dp") > 0,
+        }
+        return state._replace(n=state.n[None]), metrics
+
+    sm = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            SimState(pos=P("dp"), vel=P("dp"), acc=P("dp"), status=P("dp"),
+                     id_hi=P("dp"), id_lo=P("dp"), n=P("dp")),
+            P(),
+            P(),
+        ),
+        out_specs=(
+            SimState(pos=P("dp"), vel=P("dp"), acc=P("dp"), status=P("dp"),
+                     id_hi=P("dp"), id_lo=P("dp"), n=P("dp")),
+            {"n": P(), "added": P(), "removed": P(), "overflow": P()},
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def run_pic_sharded(config: SimConfig, mesh: Mesh, table=None):
+    """Multi-chip run_pic: host Poisson loop over the sharded step."""
+    from .. import cross_section
+
+    if table is None:
+        table = cross_section.load_table(config.cross_section_path)
+    step = sharded_poisson_step(mesh, config)
+    state = setup_sharded(config, mesh)
+    history = []
+    for t in range(config.poisson_steps):
+        state, metrics = step(state, jnp.uint32(t), table)
+        m = {k: int(v) for k, v in metrics.items()}
+        history.append(m)
+        if m["n"] == 0:
+            break
+    return state, history

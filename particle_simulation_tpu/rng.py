@@ -69,7 +69,11 @@ def uniform_from_bits(bits, lo: float = 0.0, hi: float = 1.0):
     mirroring curand_uniform's granularity (reference src/random.cu:7-12 then
     scales to [min, max)).
     """
-    u01 = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+    # uint32 -> int32 -> f32: values are < 2^24 so the int32 hop is lossless
+    # (and Mosaic TPU has no direct uint32->f32 cast).
+    u01 = (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        2**-24
+    )
     return u01 * jnp.float32(hi - lo) + jnp.float32(lo)
 
 
@@ -79,24 +83,25 @@ def initial_ids(seed: int, slots):
     return threefry2x32(jnp.uint32(seed), jnp.uint32(GOLDEN), jnp.zeros_like(s), s)
 
 
-def child_ids(parent_hi, parent_lo, poisson_step, mob_step):
-    """Derive a child's 64-bit id from its parent's id and spawn time."""
-    p = jnp.asarray(poisson_step, jnp.uint32)
-    t = jnp.asarray(mob_step, jnp.uint32)
-    return threefry2x32(parent_hi, parent_lo, p, t)
+def step_draws(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
+    """One Threefry block per particle per mobility step yields BOTH the
+    collision uniform (reference: collider's single randFloat(state, 0, 100),
+    src/particle_move.cu:57) and — if the particle ionizes — the child's
+    64-bit genealogy id.  The cipher is a bijection of (key, ctr), so the
+    child id inherits full-entropy uniqueness at zero extra cost.
 
-
-def step_uniform(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
-    """The one uniform draw a particle makes per mobility step.
-
-    (Reference: collider's single randFloat(state, 0, 100),
-    src/particle_move.cu:57.)
+    Returns (uniform, child_hi, child_lo).
     """
-    b0, _ = threefry2x32(
+    b0, b1 = threefry2x32(
         id_hi ^ jnp.uint32(seed), id_lo, jnp.asarray(poisson_step, jnp.uint32),
         jnp.asarray(mob_step, jnp.uint32),
     )
-    return uniform_from_bits(b0, lo, hi)
+    return uniform_from_bits(b0, lo, hi), b1, b0 ^ jnp.uint32(GOLDEN)
+
+
+def step_uniform(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
+    """Collision uniform only (see step_draws)."""
+    return step_draws(seed, id_hi, id_lo, poisson_step, mob_step, lo, hi)[0]
 
 
 def setup_uniform(id_hi, id_lo, axis, lo, hi):

@@ -62,7 +62,7 @@ def test_streams_differ_across_particles_and_steps():
 def test_child_ids_unique():
     """Genealogy ids must not collide between children and parents."""
     ids_hi, ids_lo = rng.initial_ids(39587, np.arange(5000))
-    ch, cl = rng.child_ids(ids_hi, ids_lo, 2, 5)
+    _, ch, cl = rng.step_draws(39587, ids_hi, ids_lo, 2, 5)
     parents = set(zip(np.asarray(ids_hi).tolist(), np.asarray(ids_lo).tolist()))
     children = set(zip(np.asarray(ch).tolist(), np.asarray(cl).tolist()))
     assert len(parents) == 5000

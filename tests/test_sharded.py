@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4: multi-chip tests use xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_simulation_tpu import SimConfig
+from particle_simulation_tpu.cross_section import bundled_paths, load_table
+from particle_simulation_tpu.parallel.sharded import (
+    make_mesh,
+    run_pic_sharded,
+    setup_sharded,
+)
+
+CFG = SimConfig(
+    init_n=64,
+    capacity=4096,
+    poisson_steps=2,
+    poisson_timestep=5,
+    grid_size=(32, 32, 32),
+    cross_section_path=bundled_paths()[1],  # constant 50/50 table
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_setup_sharded_layout(mesh):
+    st = setup_sharded(CFG, mesh)
+    assert st.pos.shape == (8 * CFG.capacity, 3)
+    assert st.n.shape == (8,)
+    np.testing.assert_array_equal(np.asarray(st.n), [CFG.init_n] * 8)
+    # per-shard slot ranges hold the live particles
+    status = np.asarray(st.status)
+    for i in range(8):
+        blk = status[i * CFG.capacity : (i + 1) * CFG.capacity]
+        assert (blk[: CFG.init_n] == -1).all()
+        assert (blk[CFG.init_n :] == 0).all()
+
+
+def test_sharded_run_deterministic(mesh):
+    _, hist_a = run_pic_sharded(CFG, mesh)
+    _, hist_b = run_pic_sharded(CFG, mesh)
+    assert hist_a == hist_b
+    assert hist_a[0]["n"] > 0
+
+
+def test_sharded_matches_independent_shards(mesh):
+    """With the constant table, collision outcomes depend only on genealogy
+    draws (not on the field), so each shard's population history must equal
+    an independent single-chip run seeded with the same slot offset."""
+    from particle_simulation_tpu.ops.step import poisson_step
+    from particle_simulation_tpu.state import setup_particles
+
+    table = load_table(CFG.cross_section_path)
+    state, hist = run_pic_sharded(CFG, mesh, table)
+
+    total_by_step = np.zeros(CFG.poisson_steps, np.int64)
+    ids_union = []
+    for i in range(8):
+        st = setup_particles(CFG, slot_offset=i * CFG.capacity)
+        for t in range(CFG.poisson_steps):
+            st, m = poisson_step(st, jnp.uint32(t), table, CFG)
+            total_by_step[t] += int(m["n"])
+        n = int(st.n)
+        ids_union.append(np.asarray(st.id_lo)[:n])
+
+    np.testing.assert_array_equal(
+        [h["n"] for h in hist], total_by_step
+    )
+    # id multiset equality
+    sharded_status = np.asarray(state.status)
+    sharded_ids = np.asarray(state.id_lo)[sharded_status == -1]
+    np.testing.assert_array_equal(
+        np.sort(sharded_ids), np.sort(np.concatenate(ids_union))
+    )
+
+
+def test_charge_psum_counts_all_shards(mesh):
+    """The replicated charge grid must contain every live particle from
+    every shard: growth metrics n equals the deposited total next step."""
+    cfg = CFG.replace(poisson_steps=1)
+    state, hist = run_pic_sharded(cfg, mesh)
+    # all shards' survivors counted
+    status = np.asarray(state.status)
+    assert (status == -1).sum() == hist[0]["n"]
