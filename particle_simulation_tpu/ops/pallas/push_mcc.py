@@ -301,12 +301,10 @@ def _append_staged(state: SimState, children, parent_lo, parent_hi) -> SimState:
     valid = (
         (children[9] > 0) & (parent_slot >= parent_lo) & (parent_slot < parent_hi)
     ).reshape(-1)
-    flat = [c.reshape(-1) for c in children]
-    child = Particles(**{
-        name: jnp.where(valid, f, 0).astype(_field_dtype(name))
-        for name, f in zip(FIELD_NAMES, flat)
-    })
-    return population.append_children(state, valid, child)
+    child = Particles(
+        **{name: c.reshape(-1) for name, c in zip(FIELD_NAMES, children)}
+    )
+    return population.append_from(state, valid, child)
 
 
 def mobility_phase_dynamic(state: SimState, poisson_step, table, config: SimConfig):

@@ -59,6 +59,8 @@ def run_pic(
     table: Optional[jnp.ndarray] = None,
     on_step: Optional[Callable[[int, SimState], None]] = None,
     print_header: bool = True,
+    initial_state: Optional[SimState] = None,
+    first_poisson_index: int = 0,
 ) -> RunData:
     """Run the full simulation per ``config``; the reference's runPIC.
 
@@ -76,7 +78,7 @@ def run_pic(
     if table is None:
         table = cross_section.load_table(config.cross_section_path)
 
-    state = setup_particles(config)
+    state = setup_particles(config) if initial_state is None else initial_state
     steps: List[StepMetrics] = []
     total_added = 0
     total_removed = 0
@@ -86,7 +88,9 @@ def run_pic(
         if on_step is not None and config.verbose and t % config.verbose == 0:
             on_step(t, state)
         t0 = time.perf_counter()
-        state, metrics = poisson_step(state, jnp.uint32(t), table, config)
+        state, metrics = poisson_step(
+            state, jnp.uint32(t + first_poisson_index), table, config
+        )
         n = int(metrics["n"])  # blocks
         dt_wall = time.perf_counter() - t0
         device_s += dt_wall
