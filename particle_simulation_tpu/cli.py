@@ -42,6 +42,8 @@ def parse_args(argv) -> tuple[str, SimConfig]:
             cfg = cfg.replace(seed=int(val))
         elif key == "precision":
             cfg = cfg.replace(precision=val)
+        elif key == "field":
+            cfg = cfg.replace(field_model=val)
         elif key == "platform":
             import jax
 

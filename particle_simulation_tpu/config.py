@@ -40,6 +40,10 @@ class SimConfig:
     spawn_depth: int = 8
     # dtype for positions/velocities: "f32" (TPU) or "f64" (CPU oracle runs).
     precision: str = "f32"
+    # Field model: "neighbour" = reference-parity local charge difference
+    # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
+    # (models/poisson_fft.py), the flagged fidelity upgrade.
+    field_model: str = "neighbour"
 
     @property
     def sim_size(self) -> Tuple[float, float, float]:

@@ -76,11 +76,24 @@ def grid_phase(state: SimState, config: SimConfig) -> SimState:
         jnp.int32
     )
     charge = grid_ops.deposit(state.pos, weight, config.cell_size, config.grid_size)
-    acc = grid_ops.gather_acceleration(
-        charge, state.pos, weight, config.cell_size, config.grid_size,
+    acc = field_acceleration(charge, state.pos, weight, config)
+    return state._replace(acc=acc)
+
+
+def field_acceleration(charge, pos, weight, config: SimConfig):
+    """Dispatch on the configured field model (config.field_model)."""
+    if config.field_model == "fft":
+        from ..models.poisson_fft import gather_acceleration_fft
+
+        return gather_acceleration_fft(
+            charge, pos, weight, config.cell_size, config.grid_size
+        )
+    if config.field_model != "neighbour":
+        raise ValueError(f"unknown field model {config.field_model!r}")
+    return grid_ops.gather_acceleration(
+        charge, pos, weight, config.cell_size, config.grid_size,
         config.electric_force_constant,
     )
-    return state._replace(acc=acc)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -104,11 +104,11 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
             state.pos, weight, config.cell_size, config.grid_size
         )
         charge = jax.lax.psum(charge_local, "dp")
-        acc = grid_ops.gather_acceleration(
-            charge, state.pos, weight, config.cell_size, config.grid_size,
-            config.electric_force_constant,
+        from ..ops.step import field_acceleration
+
+        state = state._replace(
+            acc=field_acceleration(charge, state.pos, weight, config)
         )
-        state = state._replace(acc=acc)
 
         # ---- mobility phase + compaction: fully shard-local ----
         n_start = state.n_clamped
