@@ -143,7 +143,18 @@ def _mobility_kernel(
         for r in child_refs:
             r[:, :, :] = jnp.zeros(r.shape, r.dtype)
 
-        def body(t, carry):
+        # Lanes in a generation pass only wake at (spawn step + 1) and a
+        # tile may go fully dead mid-phase; skip whole steps when no lane
+        # is active (e.g. late-spawned children tiles idle for most of the
+        # phase).  min_start bounds the first step with any work.
+        status0 = in_refs[9][:, :]
+        live0 = population.is_live(status0) & in_range
+        start0 = jnp.where(
+            live0, jnp.maximum(status0, 0) + 1, config.poisson_timestep + 1
+        )
+        tile_first_t = jnp.min(start0)
+
+        def step_work(t, carry):
             *fields, depth, dropped = carry
             p = Particles(**dict(zip(FIELD_NAMES, fields)))
             active = (
@@ -164,16 +175,28 @@ def _mobility_kernel(
                 table_lookup=functools.partial(lookup, split_ref, remove_ref),
             )
             store = res.spawn & (depth < config.spawn_depth)
-            sel = (depth_iota == depth[None]) & store[None]
-            child = res.child
-            for name, r in zip(FIELD_NAMES, child_refs):
-                val = getattr(child, name).astype(r.dtype)
-                r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
+
+            @pl.when(jnp.any(store))
+            def _stage_children():
+                sel = (depth_iota == depth[None]) & store[None]
+                child = res.child
+                for name, r in zip(FIELD_NAMES, child_refs):
+                    val = getattr(child, name).astype(r.dtype)
+                    r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
+
             dropped = dropped + jnp.sum(
                 (res.spawn & jnp.logical_not(store)).astype(jnp.int32)
             )
             depth = depth + store.astype(jnp.int32)
             return (*res.particles, depth, dropped)
+
+        def body(t, carry):
+            has_work = (t >= tile_first_t) & jnp.any(
+                population.is_live(carry[9]) & in_range
+            )
+            return jax.lax.cond(
+                has_work, lambda c: step_work(t, c), lambda c: c, carry
+            )
 
         init = tuple(r[:, :] for r in in_refs) + (
             jnp.zeros((SUBLANES, LANES), jnp.int32),

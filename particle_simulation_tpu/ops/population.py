@@ -3,22 +3,23 @@ dead-particle compaction.
 
 The reference needs four CUDA schedulers + warp-ballot stream compaction
 (src/pic.cu:19-357) because it mutates a shared work queue inside kernels.
-XLA's functional model replaces all of that with data-parallel primitives —
-and because XLA:TPU lowers scatter terribly (~250 MB/s measured) while
-gathers run at near memory bandwidth, everything here is **gather-only**:
+XLA's functional model replaces all of that with data-parallel primitives,
+chosen by measurement on TPU (v5 lite):
 
-  destination slot j pulls its source with a vectorized binary search over
-  the cumulative count of the source mask (``searchsorted(cumsum(mask),
-  rank)``), instead of sources scattering to destinations.  This preserves
-  order (stable), is deterministic, and replaced a 3.1 s scatter append with
-  a ~10 ms gather pass at the 1M-particle benchmark point.
+  * stable radix sort is fast (argsort: 35 ms @ 2M, 65 ms @ 16M) while both
+    scatter (~250 MB/s) and searchsorted (>1 s) are pathologically slow;
+  * so stream compaction = stable argsort on the keep-mask + monotone
+    gather (`.at[idx].get(indices_are_sorted=True)`), and spawn append =
+    the same compaction of the staged-children domain, landing in slots
+    [n, n+k) in source order.
 
 Semantics preserved from the reference:
   * children land in slots [n, n+k) in source order; children beyond
     capacity are dropped but still counted in ``n`` so overflow is
     detectable (src/pic.cu:127-131, 543-545);
   * compaction closes ranks preserving order and resets survivors to ALIVE
-    (remove_dead_particles + buffer flip, src/pic.cu:320-357, 491-492).
+    (remove_dead_particles + buffer flip, src/pic.cu:320-357, 491-492) —
+    and is deterministic, which the warp-atomic original is not.
 """
 
 from __future__ import annotations
@@ -35,69 +36,60 @@ def is_live(status) -> jnp.ndarray:
     return (status == STATUS_ALIVE) | (status > 0)
 
 
-def gather_ranked(mask, num_dest):
-    """For each destination rank r in [0, num_dest): the index of the
-    (r+1)-th True in ``mask`` (undefined where r >= sum(mask)).
+def compaction_perm(mask):
+    """(perm, k): stable permutation placing mask's True indices first (in
+    order); k = number of Trues.  perm[:k] is strictly increasing."""
+    perm = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int8), stable=True)
+    k = jnp.sum(mask.astype(jnp.int32))
+    return perm.astype(jnp.int32), k
 
-    Gather-only stream-compaction index: searchsorted over the cumulative
-    mask count.
+
+def _sorted_take(arr, idx, unique=False):
+    """Gather with genuinely non-decreasing indices (fast path on TPU).
+
+    Callers must sanitize idx to be non-decreasing — the flags are promises
+    to XLA, not hints.
     """
-    cum = jnp.cumsum(mask.astype(jnp.int32))
-    ranks = jnp.arange(1, num_dest + 1, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, ranks, side="left")
-    return jnp.minimum(src, mask.shape[0] - 1), cum[-1]
+    return arr.at[idx].get(indices_are_sorted=True, unique_indices=unique,
+                           mode="promise_in_bounds")
 
 
 def append_children(state: SimState, spawn, child: Particles) -> SimState:
     """Place this step's children at slots [n, n+k) in source order."""
-    c = state.capacity
-    slot = jnp.arange(c, dtype=jnp.int32)
-    # rank of destination slot j among new children: j - n (valid if in [0,k))
-    src, k = gather_ranked(spawn, c)
-    # source staged index for destination j is src[j - n]; express via a
-    # shifted gather: dest_rank[j] = j - n
-    dest_rank = slot - state.n
-    take = jnp.clip(dest_rank, 0, c - 1)
-    src_for_dest = src[take]
-    is_new = (dest_rank >= 0) & (dest_rank < k)
-
-    def merge(old, child_arr):
-        gathered = child_arr[src_for_dest]
-        if old.ndim > 1:
-            mask = is_new[(...,) + (None,) * (old.ndim - 1)]
-        else:
-            mask = is_new
-        return jnp.where(mask, gathered.astype(old.dtype), old)
-
-    pos = merge(state.pos, jnp.stack([child.px, child.py, child.pz], axis=1))
-    vel = merge(state.vel, jnp.stack([child.vx, child.vy, child.vz], axis=1))
-    acc = merge(state.acc, jnp.stack([child.ax, child.ay, child.az], axis=1))
-    status = merge(state.status, child.status)
-    id_hi = merge(state.id_hi, child.id_hi)
-    id_lo = merge(state.id_lo, child.id_lo)
-    return state._replace(
-        pos=pos, vel=vel, acc=acc, status=status,
-        id_hi=id_hi, id_lo=id_lo, n=state.n + k)
+    return append_from(state, spawn, child)
 
 
 def append_from(state: SimState, valid, fields: Particles) -> SimState:
-    """Generalized append: pull valid entries from arbitrarily-sized staged
-    component arrays (e.g. the fused kernel's (D * padded_capacity,) child
-    staging) into slots [n, n+k).  Gather-only."""
+    """Pull valid entries from staged component arrays (any size >= 1) into
+    slots [n, n+k), in staged order.  Gather/sort-only, no scatter."""
     c = state.capacity
+    s_dom = valid.shape[0]
+    perm, k = compaction_perm(valid)
     slot = jnp.arange(c, dtype=jnp.int32)
-    src, k = gather_ranked(valid, c)
     dest_rank = slot - state.n
-    take = jnp.clip(dest_rank, 0, c - 1)
-    src_for_dest = src[take]
     is_new = (dest_rank >= 0) & (dest_rank < k)
+    # perm[:C] suffices: destination ranks are < C (indexing perm by the
+    # monotone-unique arange is a sorted gather by construction).
+    src = _sorted_take(
+        perm,
+        jnp.minimum(jnp.arange(c, dtype=jnp.int32), s_dom - 1),
+        unique=s_dom >= c,
+    )
+    src = src[jnp.clip(dest_rank, 0, c - 1)]
+    # Sanitize to a non-decreasing sequence: 0s before the new range,
+    # ascending valid sources inside it, s_dom-1 after it.
+    src_for_dest = jnp.where(
+        dest_rank < 0, 0, jnp.where(is_new, src, s_dom - 1)
+    )
 
     def merge1(old, staged):
-        return jnp.where(is_new, staged[src_for_dest].astype(old.dtype), old)
+        g = _sorted_take(staged, src_for_dest)
+        return jnp.where(is_new, g.astype(old.dtype), old)
 
     def merge3(old, sx, sy, sz):
         g = jnp.stack(
-            [sx[src_for_dest], sy[src_for_dest], sz[src_for_dest]], axis=1
+            [_sorted_take(sx, src_for_dest), _sorted_take(sy, src_for_dest),
+             _sorted_take(sz, src_for_dest)], axis=1
         )
         return jnp.where(is_new[:, None], g.astype(old.dtype), old)
 
@@ -117,11 +109,14 @@ def compact(state: SimState) -> SimState:
     c = state.capacity
     slot = jnp.arange(c, dtype=jnp.int32)
     live = is_live(state.status) & (slot < state.n_clamped)
-    src, n_new = gather_ranked(live, c)
+    perm, n_new = compaction_perm(live)
     keep = slot < n_new
+    # perm[:n_new] is ascending; pin the discarded tail to c-1 so the whole
+    # index vector is genuinely non-decreasing.
+    src = jnp.where(keep, perm, c - 1)
 
     def take(arr):
-        g = arr[src]
+        g = _sorted_take(arr, src)
         mask = keep[(...,) + (None,) * (arr.ndim - 1)] if arr.ndim > 1 else keep
         return jnp.where(mask, g, jnp.zeros((), arr.dtype))
 
