@@ -77,20 +77,33 @@ def make_chunked_lookup(n_chunks):
         idx = energy_to_index(energy)
         hi = idx // LANES
         lo = idx % LANES
-        hmin = jnp.min(hi)
-        hmax = jnp.max(hi)
 
-        def body(c, acc):
-            sp, rm = acc
-            sel = hi == c
+        def chunk_vals(c):
             sp_chunk = jnp.broadcast_to(split_ref[c, :][None, :], shape)
             rm_chunk = jnp.broadcast_to(remove_ref[c, :][None, :], shape)
-            sp = jnp.where(sel, jnp.take_along_axis(sp_chunk, lo, axis=1), sp)
-            rm = jnp.where(sel, jnp.take_along_axis(rm_chunk, lo, axis=1), rm)
-            return sp, rm
+            return (
+                jnp.take_along_axis(sp_chunk, lo, axis=1),
+                jnp.take_along_axis(rm_chunk, lo, axis=1),
+            )
 
-        zeros = jnp.zeros(shape, jnp.float32)
-        return jax.lax.fori_loop(hmin, hmax + 1, body, (zeros, zeros))
+        # Chunk 0 (the lowest-energy band) is a persistent attractor —
+        # particles in zero-field cells sit at E=0 forever — so handling it
+        # unconditionally and sweeping only the band of *nonzero* chunks
+        # collapses the typical sweep from ~22 chunks to a few.
+        sel0 = hi == 0
+        sp0, rm0 = chunk_vals(0)
+        sp = jnp.where(sel0, sp0, 0.0)
+        rm = jnp.where(sel0, rm0, 0.0)
+        hmin_nz = jnp.min(jnp.where(sel0, n_chunks - 1, hi))
+        hmax_nz = jnp.max(jnp.where(sel0, 1, hi))
+
+        def body(c, acc):
+            s, r = acc
+            sel = hi == c
+            spc, rmc = chunk_vals(c)
+            return jnp.where(sel, spc, s), jnp.where(sel, rmc, r)
+
+        return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
     return lookup
 
@@ -324,14 +337,23 @@ def _append_staged(state: SimState, children, parent_lo, parent_hi) -> SimState:
     valid = (
         (children[9] > 0) & (parent_slot >= parent_lo) & (parent_slot < parent_hi)
     ).reshape(-1)
-    child = Particles(
-        **{name: c.reshape(-1) for name, c in zip(FIELD_NAMES, children)}
+    packed = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(c.reshape(-1), jnp.int32)
+            for c in children
+        ],
+        axis=1,
     )
-    return population.append_from(state, valid, child)
+    return population.append_packed(state, valid, packed)
 
 
 def mobility_phase_dynamic(state: SimState, poisson_step, table, config: SimConfig):
     """Generation fixed-point over fused kernel sweeps (fully on device)."""
+    if state.pos.dtype != jnp.float32:
+        raise ValueError(
+            "the fused Pallas engine is f32-only; use scheduler='sync' or "
+            "'naive' for f64 oracle runs"
+        )
     c = state.capacity
     padded_capacity = ((c + TILE - 1) // TILE) * TILE
 
