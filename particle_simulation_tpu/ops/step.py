@@ -96,7 +96,6 @@ def field_acceleration(charge, pos, weight, config: SimConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
 def poisson_step(
     state: SimState, poisson_index, table, config: SimConfig
 ) -> Tuple[SimState, dict]:
@@ -105,14 +104,31 @@ def poisson_step(
 
     Mirrors the body of the reference's outer loop (src/pic.cu:487-560).
     Returns (new_state, metrics).
+
+    ``poisson_timestep`` is passed into the compiled program as a traced
+    scalar (one compilation serves every mobility-step count — essential
+    when the benchmark sweep varies T over 10..1000).
     """
+    return _poisson_step_t(
+        state,
+        poisson_index,
+        table,
+        jnp.asarray(config.poisson_timestep, jnp.int32),
+        config.replace(poisson_timestep=0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _poisson_step_t(
+    state: SimState, poisson_index, table, t_steps, config: SimConfig
+) -> Tuple[SimState, dict]:
     from ..schedulers import get_mobility_phase
 
     state = grid_phase(state, config)
     n_start = state.n_clamped
 
     state = get_mobility_phase(config.scheduler)(
-        state, poisson_index, table, config
+        state, poisson_index, table, config, t_steps
     )
 
     n_after = state.n

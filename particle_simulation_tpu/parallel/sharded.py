@@ -112,7 +112,10 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
 
         # ---- mobility phase + compaction: fully shard-local ----
         n_start = state.n_clamped
-        state = mobility_phase(state, poisson_index, table, config)
+        state = mobility_phase(
+            state, poisson_index, table, config,
+            jnp.asarray(config.poisson_timestep, jnp.int32),
+        )
         overflow_local = state.n > state.capacity
         added = state.n_clamped - n_start
         state = population.compact(state)

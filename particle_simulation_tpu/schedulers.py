@@ -59,16 +59,22 @@ def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_h
     return population.append_children(state, res.spawn, res.child)
 
 
-def mobility_phase_naive(state: SimState, poisson_step, table, config: SimConfig):
-    """All live slots advance together, one fori_loop iteration per step."""
+def mobility_phase_naive(
+    state: SimState, poisson_step, table, config: SimConfig, t_steps
+):
+    """All live slots advance together, one fori_loop iteration per step.
+    ``t_steps`` (the mobility-step count) is traced, so one compilation
+    covers every sweep point."""
 
     def body(t, st):
         return _one_step(st, t, poisson_step, table, config, 0, st.n_clamped)
 
-    return jax.lax.fori_loop(1, config.poisson_timestep + 1, body, state)
+    return jax.lax.fori_loop(1, t_steps + 1, body, state)
 
 
-def mobility_phase_sync(state: SimState, poisson_step, table, config: SimConfig):
+def mobility_phase_sync(
+    state: SimState, poisson_step, table, config: SimConfig, t_steps
+):
     """Generation fixed-point (reference CPU Sync): repeatedly simulate the
     not-yet-finished slot range through the remaining steps until the
     population stops growing.  Terminates in <= poisson_timestep generations
@@ -85,7 +91,7 @@ def mobility_phase_sync(state: SimState, poisson_step, table, config: SimConfig)
         def body(t, s):
             return _one_step(s, t, poisson_step, table, config, gen_lo, gen_hi)
 
-        st = jax.lax.fori_loop(1, config.poisson_timestep + 1, body, st)
+        st = jax.lax.fori_loop(1, t_steps + 1, body, st)
         return st, gen_hi
 
     state, _ = jax.lax.while_loop(
