@@ -18,7 +18,12 @@ from .runtime import RunData, run_pic
 
 
 def sweep_configs(profile: str = "full") -> List[SimConfig]:
-    if profile == "quick":
+    if profile == "ci":
+        mobility = [4, 8]
+        init_n, capacity, poisson_steps = 200, 4000, 2
+        grid = (16, 16, 16)
+        schedulers = ["naive", "sync"]
+    elif profile == "quick":
         mobility = [10, 50, 100]
         init_n, capacity, poisson_steps = 100_000, 2_000_000, 3
         grid = (128, 128, 128)

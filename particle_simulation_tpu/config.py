@@ -40,6 +40,9 @@ class SimConfig:
     spawn_depth: int = 8
     # dtype for positions/velocities: "f32" (TPU) or "f64" (CPU oracle runs).
     precision: str = "f32"
+    # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).
+    kernel_loop: str = "while"     # "while" (skip-capable) | "fori"
+    lookup_mode: str = "band0"     # "band0" | "minmax" chunk sweep
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
     # (models/poisson_fft.py), the flagged fidelity upgrade.

@@ -60,7 +60,7 @@ def _field_dtype(name):
     return jnp.float32
 
 
-def make_chunked_lookup(n_chunks):
+def make_chunked_lookup(n_chunks, mode="band0"):
     """energy -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -86,23 +86,27 @@ def make_chunked_lookup(n_chunks):
                 jnp.take_along_axis(rm_chunk, lo, axis=1),
             )
 
-        # Chunk 0 (the lowest-energy band) is a persistent attractor —
-        # particles in zero-field cells sit at E=0 forever — so handling it
-        # unconditionally and sweeping only the band of *nonzero* chunks
-        # collapses the typical sweep from ~22 chunks to a few.
-        sel0 = hi == 0
-        sp0, rm0 = chunk_vals(0)
-        sp = jnp.where(sel0, sp0, 0.0)
-        rm = jnp.where(sel0, rm0, 0.0)
-        hmin_nz = jnp.min(jnp.where(sel0, n_chunks - 1, hi))
-        hmax_nz = jnp.max(jnp.where(sel0, 1, hi))
-
         def body(c, acc):
             s, r = acc
             sel = hi == c
             spc, rmc = chunk_vals(c)
             return jnp.where(sel, spc, s), jnp.where(sel, rmc, r)
 
+        if mode == "minmax":
+            zeros = jnp.zeros(shape, jnp.float32)
+            return jax.lax.fori_loop(
+                jnp.min(hi), jnp.max(hi) + 1, body, (zeros, zeros)
+            )
+
+        # band0: chunk 0 (the lowest-energy band) is a persistent attractor
+        # — particles in zero-field cells sit at E=0 forever — handle it
+        # unconditionally and sweep only the band of *nonzero* chunks.
+        sel0 = hi == 0
+        sp0, rm0 = chunk_vals(0)
+        sp = jnp.where(sel0, sp0, 0.0)
+        rm = jnp.where(sel0, rm0, 0.0)
+        hmin_nz = jnp.min(jnp.where(sel0, n_chunks - 1, hi))
+        hmax_nz = jnp.max(jnp.where(sel0, 1, hi))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
     return lookup
@@ -148,7 +152,7 @@ def _mobility_kernel(
             + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
         )
         in_range = (slots >= lo) & (slots < hi)
-        lookup = make_chunked_lookup(n_chunks)
+        lookup = make_chunked_lookup(n_chunks, config.lookup_mode)
 
         depth_iota = jax.lax.broadcasted_iota(
             jnp.int32, (config.spawn_depth, SUBLANES, LANES), 0
@@ -224,7 +228,12 @@ def _mobility_kernel(
             out = step_work(t, carry[1:])
             return (t + 1,) + out
 
-        final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
+        if config.kernel_loop == "fori":
+            final = jax.lax.fori_loop(
+                1, t_steps + 1, lambda t, c: step_work(t, c), init[1:]
+            )
+        else:
+            final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
         for r_out, val in zip(out_refs, final[: len(out_refs)]):
             r_out[:, :] = val
         drop_ref[0, 0] = drop_ref[0, 0] + final[-1]
