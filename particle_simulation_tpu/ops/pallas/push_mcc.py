@@ -16,14 +16,19 @@ module is its TPU-native counterpart:
   * the shared-memory spawn buffer + lock protocol becomes a per-lane
     (depth, sublane, lane) child staging buffer written with depth-masked
     vector selects — no atomics, no fences, deterministic by construction;
-  * CUDA's per-thread work stealing becomes the generation fixed-point of
-    the CPU-Sync cadence (a ``lax.while_loop``), but with the whole
-    generation fused into one kernel sweep; tiles outside the live range
-    skip all compute.
+  * CUDA's per-thread work stealing becomes a **work-list fixed point**: a
+    ``lax.while_loop`` of kernel sweeps in which every lane is either
+    unfinished (fresh, spawned-this-phase, or suspended) or finished.  A
+    lane whose staging buffer fills SUSPENDS — its resume step and original
+    spawn stamp are packed into the status word — and continues next sweep,
+    so physics is exact for unbounded ionization chains (no child is ever
+    dropped, unlike a fixed-depth buffer).  Fully-finished tiles skip with
+    only a DMA passthrough.
 
 Physics is bit-identical to the pure-JAX cadences: the kernel calls the very
 same ``ops.physics.update_particles`` / ``rng.step_draws`` code on (S, 128)
-tiles (tests/test_pallas.py asserts multiset equality on TPU).
+tiles (tests/test_pallas.py asserts multiset equality, including tiny
+spawn-depth configs that force suspension).
 """
 
 from __future__ import annotations
@@ -35,7 +40,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ... import rng  # noqa: F401  (used via physics)
 from ...config import SimConfig
 from ...state import SimState
 from ..physics import Particles, update_particles
@@ -49,7 +53,50 @@ FIELD_NAMES = (
     "px", "py", "pz", "vx", "vy", "vz", "ax", "ay", "az",
     "status", "id_hi", "id_lo",
 )
-_F32 = ("px", "py", "pz", "vx", "vy", "vz", "ax", "ay", "az")
+
+_INF_START = 0x7FFFFFF  # python int: jnp constants may not be captured by kernels
+
+# ---- phase-internal status encodings (never escape the mobility phase) ----
+# unfinished: -1 | s>0 | suspended (<= _SUS_BASE, packs resume step + stamp)
+# finished:   (_SUS_BASE, _FIN_BASE] packs the original stamp
+_FIN_BASE = -10
+_SUS_BASE = -40000
+_STAMP_BITS = 15
+_STAMP_MASK = (1 << _STAMP_BITS) - 1
+
+
+def _encode_finished(stamp):
+    return _FIN_BASE - (stamp + 2)
+
+
+def _is_finished(s):
+    return (s <= _FIN_BASE) & (s > _SUS_BASE)
+
+
+def _decode_finished(s):
+    return _FIN_BASE - s - 2
+
+
+def _encode_suspended(resume, stamp):
+    return _SUS_BASE - (
+        ((resume - 1) << _STAMP_BITS) | (stamp + 2)
+    )
+
+
+def _is_suspended(s):
+    return s <= _SUS_BASE
+
+
+def _suspended_resume(s):
+    return ((_SUS_BASE - s) >> _STAMP_BITS) + 1
+
+
+def _suspended_stamp(s):
+    return ((_SUS_BASE - s) & _STAMP_MASK) - 2
+
+
+def _is_unfinished(s):
+    return (s == -1) | (s > 0) | _is_suspended(s)
 
 
 def _field_dtype(name):
@@ -66,9 +113,8 @@ def make_chunked_lookup(n_chunks, mode="band0"):
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
     idx decomposes into (chunk, offset); each chunk lookup is one
     ``tpu.dynamic_gather`` (take_along_axis on the lane axis) over the
-    chunk's values broadcast to the tile shape.  Only chunks in
-    [min, max] of the tile's indices are visited — particle energies
-    cluster tightly, so this is typically 1-3 chunks, not 79.
+    chunk's values broadcast to the tile shape.  Only chunks in the band
+    the tile's energies occupy are visited.
     """
     from ...cross_section import energy_to_index
 
@@ -115,9 +161,9 @@ def make_chunked_lookup(n_chunks, mode="band0"):
 def _mobility_kernel(
     config: SimConfig,
     n_chunks: int,
-    scal_ref,          # SMEM (4,): [poisson_step, range_lo, range_hi, t_steps]
+    scal_ref,          # SMEM (2,): [poisson_step, t_steps]
     # 12 input field refs, 2 table refs, 12 output field refs,
-    # 12 child refs, 1 dropped-count ref — bound positionally below.
+    # 12 child refs — bound positionally below.
     *refs,
 ):
     n_f = len(FIELD_NAMES)
@@ -125,33 +171,24 @@ def _mobility_kernel(
     split_ref, remove_ref = refs[n_f : n_f + 2]
     out_refs = refs[n_f + 2 : 2 * n_f + 2]
     child_refs = refs[2 * n_f + 2 : 3 * n_f + 2]
-    drop_ref = refs[3 * n_f + 2]
 
-    i = pl.program_id(0)
-    lo = scal_ref[1]
-    hi = scal_ref[2]
-    tile_lo = i * TILE
-    tile_active = (tile_lo < hi) & (tile_lo + TILE > lo)
-
-    # Single accumulated spawn-depth-drop counter, zeroed by the first tile
-    # (the TPU grid is a sequential sweep on one core).
-    @pl.when(i == 0)
-    def _init_drop():
-        drop_ref[0, 0] = 0
+    status0 = in_refs[9][:, :]
+    unf0 = _is_unfinished(status0)
+    tile_active = jnp.any(unf0)
 
     @pl.when(jnp.logical_not(tile_active))
     def _passthrough():
         for r_in, r_out in zip(in_refs, out_refs):
             r_out[:, :] = r_in[:, :]
+        # child validity is read from the staged status; zero just that one
+        child_refs[9][:, :, :] = jnp.zeros(
+            child_refs[9].shape, child_refs[9].dtype
+        )
 
     @pl.when(tile_active)
     def _process():
         p_step = scal_ref[0].astype(jnp.uint32)
-        slots = tile_lo + (
-            jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
-        )
-        in_range = (slots >= lo) & (slots < hi)
+        t_steps = scal_ref[1]
         lookup = make_chunked_lookup(n_chunks, config.lookup_mode)
 
         depth_iota = jax.lax.broadcasted_iota(
@@ -160,26 +197,29 @@ def _mobility_kernel(
         for r in child_refs:
             r[:, :, :] = jnp.zeros(r.shape, r.dtype)
 
-        # Lanes in a generation pass only wake at (spawn step + 1) and a
-        # tile may go fully dead mid-phase; skip whole steps when no lane
-        # is active (e.g. late-spawned children tiles idle for most of the
-        # phase).  min_start bounds the first step with any work.
-        t_steps = scal_ref[3]
-        status0 = in_refs[9][:, :]
-        live0 = population.is_live(status0) & in_range
+        suspended0 = _is_suspended(status0)
+        stamp0 = jnp.where(suspended0, _suspended_stamp(status0), status0)
         start0 = jnp.where(
-            live0, jnp.maximum(status0, 0) + 1, jnp.int32(0x7FFFFFF)
+            status0 == -1,
+            1,
+            jnp.where(
+                status0 > 0,
+                status0 + 1,
+                jnp.where(suspended0, _suspended_resume(status0), jnp.int32(_INF_START)),
+            ),
         )
-        tile_first_t = jnp.min(start0)
+        tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
 
         def step_work(t, carry):
-            *fields, depth, dropped = carry
+            *fields, depth, susp, susp_t = carry
             p = Particles(**dict(zip(FIELD_NAMES, fields)))
-            active = (
-                population.is_live(p.status)
-                & (t > jnp.maximum(p.status, 0))
-                & in_range
+            candidate = (
+                unf0 & population.is_live(p.status) & (t >= start0) & ~susp
             )
+            suspend_now = candidate & (depth >= config.spawn_depth)
+            susp = susp | suspend_now
+            susp_t = jnp.where(suspend_now, t, susp_t)
+            active = candidate & ~suspend_now
             res = update_particles(
                 p,
                 active=active,
@@ -192,35 +232,34 @@ def _mobility_kernel(
                 seed=config.seed,
                 table_lookup=functools.partial(lookup, split_ref, remove_ref),
             )
-            store = res.spawn & (depth < config.spawn_depth)
-            sel = (depth_iota == depth[None]) & store[None]
+            # active lanes always have depth < spawn_depth (suspension
+            # pre-empts), so no child is ever dropped.
+            sel = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child
             for name, r in zip(FIELD_NAMES, child_refs):
                 val = getattr(child, name).astype(r.dtype)
                 r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
+            depth = depth + res.spawn.astype(jnp.int32)
+            return (*res.particles, depth, susp, susp_t)
 
-            dropped = dropped + jnp.sum(
-                (res.spawn & jnp.logical_not(store)).astype(jnp.int32)
-            )
-            depth = depth + store.astype(jnp.int32)
-            return (*res.particles, depth, dropped)
-
-        # Start at the tile's first step with any work (children spawned at
-        # step s idle until s+1) and stop early once every in-range lane is
-        # dead.  The loop body itself is branch-free straight-line vector
-        # code — a per-step lax.cond measured ~15x slower.
-        init = (jnp.maximum(tile_first_t, 1),) + tuple(
-            r[:, :] for r in in_refs
-        ) + (
-            jnp.zeros((SUBLANES, LANES), jnp.int32),
-            jnp.zeros((), jnp.int32),
+        zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        init = (
+            jnp.maximum(tile_first_t, 1),
+            *(r[:, :] for r in in_refs[:9]),
+            stamp0,
+            in_refs[10][:, :],
+            in_refs[11][:, :],
+            zeros,                       # depth
+            jnp.zeros((SUBLANES, LANES), bool),  # suspended
+            zeros,                       # suspension step
         )
 
         def loop_cond(carry):
             t = carry[0]
-            status = carry[10]
+            stamp = carry[10]
+            susp = carry[14]
             return (t <= t_steps) & jnp.any(
-                population.is_live(status) & in_range
+                unf0 & population.is_live(stamp) & ~susp
             )
 
         def loop_body(carry):
@@ -228,16 +267,30 @@ def _mobility_kernel(
             out = step_work(t, carry[1:])
             return (t + 1,) + out
 
-        if config.kernel_loop == "fori":
-            final = jax.lax.fori_loop(
-                1, t_steps + 1, lambda t, c: step_work(t, c), init[1:]
-            )
-        else:
-            final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
-        for r_out, val in zip(out_refs, final[: len(out_refs)]):
-            r_out[:, :] = val
-        drop_ref[0, 0] = drop_ref[0, 0] + final[-1]
+        final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
+        fields = final[:n_f]
+        depth, susp, susp_t = final[n_f:]
+        stamp = fields[9]
 
+        live_end = population.is_live(stamp)
+        status_out = jnp.where(
+            ~unf0,
+            status0,
+            jnp.where(
+                ~live_end,
+                stamp,  # died this pass
+                jnp.where(
+                    susp,
+                    _encode_suspended(susp_t, stamp),
+                    _encode_finished(stamp),
+                ),
+            ),
+        )
+        # Inactive lanes pass through update_particles untouched, so every
+        # non-status field in the carry already equals its input for lanes
+        # that were not processed; only status needs the encode merge.
+        for j, (r_out, val) in enumerate(zip(out_refs, fields)):
+            r_out[:, :] = status_out if j == 9 else val
 
 def _pad_tables(table):
     """(10000, 2) -> two (n_chunks, 128) f32 arrays, zero padded."""
@@ -249,9 +302,8 @@ def _pad_tables(table):
 
 
 @functools.partial(jax.jit, static_argnames=("config", "padded_capacity"))
-def _generation_pass(fields, table, scalars, config: SimConfig, padded_capacity: int):
-    """One fused kernel sweep over all tiles; returns (new_fields, children,
-    dropped_per_tile)."""
+def _sweep_pass(fields, table, scalars, config: SimConfig, padded_capacity: int):
+    """One fused kernel sweep over all tiles; returns (new_fields, children)."""
     split2d, remove2d, n_chunks = _pad_tables(table)
     num_tiles = padded_capacity // TILE
     rows = padded_capacity // LANES
@@ -279,12 +331,10 @@ def _generation_pass(fields, table, scalars, config: SimConfig, padded_capacity:
             )
             for n in FIELD_NAMES
         )
-        + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
     )
     out_specs = (
         tuple(field_block for _ in FIELD_NAMES)
         + tuple(child_block for _ in FIELD_NAMES)
-        + (pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM),)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -303,7 +353,7 @@ def _generation_pass(fields, table, scalars, config: SimConfig, padded_capacity:
         interpret=jax.default_backend() != "tpu",
     )(scalars, *fields, split2d, remove2d)
     n_f = len(FIELD_NAMES)
-    return outs[:n_f], outs[n_f : 2 * n_f], outs[2 * n_f]
+    return outs[:n_f], outs[n_f : 2 * n_f]
 
 
 def _state_to_fields(state: SimState, padded_capacity: int):
@@ -339,20 +389,12 @@ def _fields_to_state(state: SimState, fields) -> SimState:
     )
 
 
-def _append_staged(state: SimState, children, parent_lo, parent_hi) -> SimState:
+def _append_staged(state: SimState, children) -> SimState:
     """Compact the (D, rows, LANES) staging buffers into slots [n, n+k).
 
-    Validity = staged status > 0 AND the parent slot was in this
-    generation's range (filters garbage from skipped tiles)."""
-    d = children[9].shape[0]
-    rows = children[9].shape[1]
-    parent_slot = (
-        jax.lax.broadcasted_iota(jnp.int32, (d, rows, LANES), 1) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (d, rows, LANES), 2)
-    )
-    valid = (
-        (children[9] > 0) & (parent_slot >= parent_lo) & (parent_slot < parent_hi)
-    ).reshape(-1)
+    Validity = staged status > 0 (processed tiles zero their buffers before
+    writing; skipped tiles zero the status plane)."""
+    valid = (children[9] > 0).reshape(-1)
     packed = jnp.stack(
         [
             jax.lax.bitcast_convert_type(c.reshape(-1), jnp.int32)
@@ -366,7 +408,14 @@ def _append_staged(state: SimState, children, parent_lo, parent_hi) -> SimState:
 def mobility_phase_dynamic(
     state: SimState, poisson_step, table, config: SimConfig, t_steps
 ):
-    """Generation fixed-point over fused kernel sweeps (fully on device)."""
+    """Work-list fixed point over fused kernel sweeps (fully on device).
+
+    Every sweep advances all unfinished lanes (fresh particles, children
+    appended by earlier sweeps, suspended parents) as far as they can go;
+    the loop ends when no lane is unfinished.  Exact for unbounded
+    ionization chains; terminates because every suspended lane has staged
+    >= spawn_depth children and resumes with an empty buffer.
+    """
     if state.pos.dtype != jnp.float32:
         raise ValueError(
             "the fused Pallas engine is f32-only; use scheduler='sync' or "
@@ -374,36 +423,28 @@ def mobility_phase_dynamic(
         )
     c = state.capacity
     padded_capacity = ((c + TILE - 1) // TILE) * TILE
+    scalars = jnp.stack(
+        [
+            jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32),
+            jnp.asarray(t_steps, jnp.int32),
+        ]
+    )
 
-    def gen_cond(carry):
-        st, lo, _ = carry
-        return st.n_clamped > lo
+    def cond(st):
+        slot = jnp.arange(st.capacity, dtype=jnp.int32)
+        return jnp.any(_is_unfinished(st.status) & (slot < st.n_clamped))
 
-    def gen_body(carry):
-        st, lo, depth_overflow = carry
-        hi = st.n_clamped
-        scalars = jnp.stack(
-            [jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32), lo, hi,
-             jnp.asarray(t_steps, jnp.int32)]
-        )
+    def body(st):
         fields = _state_to_fields(st, padded_capacity)
-        new_fields, children, dropped = _generation_pass(
+        new_fields, children = _sweep_pass(
             fields, table, scalars, config, padded_capacity
         )
         st = _fields_to_state(st, new_fields)
-        depth_overflow = depth_overflow | (dropped[0, 0] > 0)
-        st = _append_staged(st, children, lo, hi)
-        return st, hi, depth_overflow
+        return _append_staged(st, children)
 
-    state, _, depth_overflow = jax.lax.while_loop(
-        gen_cond,
-        gen_body,
-        (state, jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+    state = jax.lax.while_loop(cond, body, state)
+    # Decode finished markers back to the reference's status stamps.
+    status = jnp.where(
+        _is_finished(state.status), _decode_finished(state.status), state.status
     )
-    # Spawn-depth overflow means children were lost (a particle ionized more
-    # than spawn_depth times in one generation pass).  Saturate n to force
-    # the runtime's capacity-overflow warning path rather than fail silently;
-    # raising config.spawn_depth is the fix.
-    return state._replace(
-        n=jnp.where(depth_overflow, jnp.int32(state.capacity + 1), state.n)
-    )
+    return state._replace(status=status)

@@ -41,6 +41,18 @@ def test_dynamic_growth_accounting():
     assert not any(m.overflow for m in run.steps)
 
 
+def test_dynamic_suspension_exactness():
+    """spawn_depth=1 forces constant suspend/resume cycling; physics must
+    STILL match the oracle exactly (no child ever dropped)."""
+    cfg = CFG.replace(spawn_depth=1, poisson_steps=2)
+    base = run_pic(cfg.replace(scheduler="sync"), print_header=False)
+    dyn = run_pic(cfg.replace(scheduler="dynamic"), print_header=False)
+    assert dyn.final_n == base.final_n
+    np.testing.assert_array_equal(
+        sorted_particle_array(base.state), sorted_particle_array(dyn.state)
+    )
+
+
 def test_dynamic_nonaligned_capacity():
     """Capacity not a multiple of the tile size exercises the padding path."""
     cfg = CFG.replace(capacity=5000, init_n=200, poisson_steps=1)
