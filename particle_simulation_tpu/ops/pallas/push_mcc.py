@@ -214,10 +214,11 @@ def _mobility_kernel(
             *fields, depth, susp, susp_t = carry
             p = Particles(**dict(zip(FIELD_NAMES, fields)))
             candidate = (
-                unf0 & population.is_live(p.status) & (t >= start0) & ~susp
+                unf0 & population.is_live(p.status) & (t >= start0)
+                & (susp == 0)
             )
             suspend_now = candidate & (depth >= config.spawn_depth)
-            susp = susp | suspend_now
+            susp = susp | suspend_now.astype(jnp.int32)
             susp_t = jnp.where(suspend_now, t, susp_t)
             active = candidate & ~suspend_now
             res = update_particles(
@@ -250,7 +251,8 @@ def _mobility_kernel(
             in_refs[10][:, :],
             in_refs[11][:, :],
             zeros,                       # depth
-            jnp.zeros((SUBLANES, LANES), bool),  # suspended
+            zeros,                       # suspended (i32 0/1: Mosaic can't
+                                         # carry i1 vectors through scf.while)
             zeros,                       # suspension step
         )
 
@@ -259,7 +261,7 @@ def _mobility_kernel(
             stamp = carry[10]
             susp = carry[14]
             return (t <= t_steps) & jnp.any(
-                unf0 & population.is_live(stamp) & ~susp
+                unf0 & population.is_live(stamp) & (susp == 0)
             )
 
         def loop_body(carry):
@@ -280,7 +282,7 @@ def _mobility_kernel(
                 ~live_end,
                 stamp,  # died this pass
                 jnp.where(
-                    susp,
+                    susp != 0,
                     _encode_suspended(susp_t, stamp),
                     _encode_finished(stamp),
                 ),
