@@ -44,3 +44,30 @@ def test_roundtrip_write_load(tmp_path):
     p = tmp_path / "t.txt"
     cs.write_table(str(p), t)
     np.testing.assert_array_equal(np.asarray(cs.load_table(str(p))), t)
+
+
+def test_physical_table_shape_and_threshold():
+    t = cs.argon_like_table()
+    assert t.shape == (cs.N_STEPS, 2)
+    assert t.min() >= 0.0 and t.max() <= 100.0
+    # ionization is zero below threshold and positive above
+    e_ion = 5.54e12
+    idx_below = int(cs.energy_to_index(np.float32(e_ion / 10)))
+    idx_above = int(cs.energy_to_index(np.float32(e_ion * 4)))
+    assert t[idx_below, 0] == 0.0
+    assert t[idx_above, 0] > 0.0
+
+
+def test_physical_table_runs_in_sim(tmp_path):
+    import jax.numpy as jnp
+
+    from particle_simulation_tpu import SimConfig
+    from particle_simulation_tpu.runtime import run_pic
+
+    p = tmp_path / "argon.txt"
+    cs.write_table(str(p), cs.argon_like_table())
+    cfg = SimConfig(init_n=100, capacity=1000, poisson_steps=1,
+                    poisson_timestep=3, grid_size=(16, 16, 16),
+                    cross_section_path=str(p))
+    run = run_pic(cfg, print_header=False)
+    assert run.final_n > 0
