@@ -81,3 +81,40 @@ def test_png_writer_valid(tmp_path):
     w = int.from_bytes(data[16:20], "big")
     h = int.from_bytes(data[20:24], "big")
     assert (w, h) == (64, 64)
+
+
+def test_capacity_overflow_flagged(capsys):
+    """Driving the population past capacity must warn and clamp (reference
+    src/pic.cu:543-545 'OVERFLOW FROM ADDING PARTICLES')."""
+    from particle_simulation_tpu.cross_section import bundled_paths
+
+    cfg = SimConfig(
+        init_n=400, capacity=500, poisson_steps=1, poisson_timestep=6,
+        grid_size=(16, 16, 16),
+        cross_section_path=bundled_paths()[1],  # 50% split per step
+    )
+    run = run_pic(cfg, print_header=False)
+    assert any(m.overflow for m in run.steps)
+    assert run.final_n <= cfg.capacity
+    assert "OVERFLOW" in capsys.readouterr().out
+
+
+def test_zero_population_early_exit(capsys):
+    """All particles dying ends the run early ('Hit 0', reference
+    src/pic.cu:556-559)."""
+    import numpy as np
+
+    from particle_simulation_tpu.cross_section import N_STEPS, write_table
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "killer.txt")
+        write_table(p, np.tile(np.float32([0.0, 100.0]), (N_STEPS, 1)))
+        cfg = SimConfig(
+            init_n=50, capacity=200, poisson_steps=5, poisson_timestep=3,
+            grid_size=(16, 16, 16), cross_section_path=p,
+        )
+        run = run_pic(cfg, print_header=False)
+    assert run.final_n == 0
+    assert len(run.steps) == 1  # exited after the first Poisson step
+    assert "Hit 0" in capsys.readouterr().out
