@@ -42,6 +42,7 @@ class SimConfig:
     precision: str = "f32"
     # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).
     kernel_loop: str = "while"     # "while" (skip-capable) | "fori"
+    kernel_sublanes: int = 32      # fused-kernel tile = sublanes x 128
     lookup_mode: str = "band0"     # "band0" | "minmax" chunk sweep
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve

@@ -46,8 +46,12 @@ from ..physics import Particles, update_particles
 from .. import population
 
 LANES = 128
-SUBLANES = 32          # tile = SUBLANES x LANES = 4096 particles
-TILE = SUBLANES * LANES
+DEFAULT_SUBLANES = 32   # tile = sublanes x 128 particles
+
+
+def _tile_dims(config):
+    sub = getattr(config, "kernel_sublanes", DEFAULT_SUBLANES) or DEFAULT_SUBLANES
+    return sub, sub * LANES
 
 FIELD_NAMES = (
     "px", "py", "pz", "vx", "vy", "vz", "ax", "ay", "az",
@@ -166,6 +170,7 @@ def _mobility_kernel(
     # 12 child refs — bound positionally below.
     *refs,
 ):
+    SUBLANES, TILE = _tile_dims(config)
     n_f = len(FIELD_NAMES)
     in_refs = refs[:n_f]
     split_ref, remove_ref = refs[n_f : n_f + 2]
@@ -306,6 +311,7 @@ def _pad_tables(table):
 @functools.partial(jax.jit, static_argnames=("config", "padded_capacity"))
 def _sweep_pass(fields, table, scalars, config: SimConfig, padded_capacity: int):
     """One fused kernel sweep over all tiles; returns (new_fields, children)."""
+    SUBLANES, TILE = _tile_dims(config)
     split2d, remove2d, n_chunks = _pad_tables(table)
     num_tiles = padded_capacity // TILE
     rows = padded_capacity // LANES
@@ -424,7 +430,8 @@ def mobility_phase_dynamic(
             "'naive' for f64 oracle runs"
         )
     c = state.capacity
-    padded_capacity = ((c + TILE - 1) // TILE) * TILE
+    _, tile = _tile_dims(config)
+    padded_capacity = ((c + tile - 1) // tile) * tile
     scalars = jnp.stack(
         [
             jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32),
