@@ -43,6 +43,11 @@ class SimConfig:
     # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).
     kernel_loop: str = "while"     # "while" (skip-capable) | "fori"
     kernel_sublanes: int = 32      # fused-kernel tile = sublanes x 128
+    # Threefry-2x32 rounds for the per-step draws.  13 is the
+    # BigCrush-passing minimum with margin (Salmon et al., SC'11); 20 is the
+    # library-conservative choice.  All engines share the value, so any
+    # choice is self-consistent and deterministic.
+    rng_rounds: int = 13
     lookup_mode: str = "band0"     # "band0" | "minmax" chunk sweep
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve

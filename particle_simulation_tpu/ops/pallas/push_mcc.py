@@ -236,6 +236,7 @@ def _mobility_kernel(
                 split_chance=None,
                 remove_chance=None,
                 seed=config.seed,
+                rng_rounds=config.rng_rounds,
                 table_lookup=functools.partial(lookup, split_ref, remove_ref),
             )
             # active lanes always have depth < spawn_depth (suspension

@@ -91,6 +91,7 @@ def update_particles(
     remove_chance,
     seed,
     table_lookup,
+    rng_rounds: int = 20,
 ) -> StepResult:
     """One mobility step for every lane; inactive lanes pass through.
 
@@ -103,7 +104,7 @@ def update_particles(
     oob = out_of_bounds(moved, sim_size)
 
     u, child_hi, child_lo = rng.step_draws(
-        seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0
+        seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0, rounds=rng_rounds
     )
     energy = collision_energy(moved)
     if table_lookup is not None:

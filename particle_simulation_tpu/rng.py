@@ -83,7 +83,8 @@ def initial_ids(seed: int, slots):
     return threefry2x32(jnp.uint32(seed), jnp.uint32(GOLDEN), jnp.zeros_like(s), s)
 
 
-def step_draws(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
+def step_draws(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0,
+               rounds: int = 20):
     """One Threefry block per particle per mobility step yields BOTH the
     collision uniform (reference: collider's single randFloat(state, 0, 100),
     src/particle_move.cu:57) and — if the particle ionizes — the child's
@@ -94,14 +95,17 @@ def step_draws(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
     """
     b0, b1 = threefry2x32(
         id_hi ^ jnp.uint32(seed), id_lo, jnp.asarray(poisson_step, jnp.uint32),
-        jnp.asarray(mob_step, jnp.uint32),
+        jnp.asarray(mob_step, jnp.uint32), rounds=rounds,
     )
     return uniform_from_bits(b0, lo, hi), b1, b0 ^ jnp.uint32(GOLDEN)
 
 
-def step_uniform(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0):
+def step_uniform(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0,
+                 rounds: int = 20):
     """Collision uniform only (see step_draws)."""
-    return step_draws(seed, id_hi, id_lo, poisson_step, mob_step, lo, hi)[0]
+    return step_draws(
+        seed, id_hi, id_lo, poisson_step, mob_step, lo, hi, rounds=rounds
+    )[0]
 
 
 def setup_uniform(id_hi, id_lo, axis, lo, hi):

@@ -53,6 +53,7 @@ def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_h
         p, active=active, t=t, poisson_step=poisson_step,
         dt=config.mobility_dt, sim_size=config.sim_size,
         split_chance=None, remove_chance=None, seed=config.seed,
+        rng_rounds=config.rng_rounds,
         table_lookup=make_table_lookup(table),
     )
     state = particles_to_state(state, res.particles)
