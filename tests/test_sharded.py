@@ -89,3 +89,13 @@ def test_charge_psum_counts_all_shards(mesh):
     # all shards' survivors counted
     status = np.asarray(state.status)
     assert (status == -1).sum() == hist[0]["n"]
+
+
+def test_sharded_dynamic_engine(mesh):
+    """The fused Pallas engine runs per-shard under shard_map and matches
+    the naive cadence's global population history."""
+    cfg = CFG.replace(scheduler="dynamic", poisson_steps=2, capacity=8192,
+                      init_n=64)
+    _, hist_dyn = run_pic_sharded(cfg, mesh)
+    _, hist_naive = run_pic_sharded(cfg.replace(scheduler="naive"), mesh)
+    assert [h["n"] for h in hist_dyn] == [h["n"] for h in hist_naive]
