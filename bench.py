@@ -2,11 +2,14 @@
 
 Protocol (BASELINE.md north star: >= 1e9 pushes/sec/chip):
   * 1M electrons, capacity 2M, T=100 mobility steps per Poisson step,
-    reference-bundled sine cross-section table, 256^3 grid;
-  * one warmup Poisson step (compile + autotune), then timed steps;
-  * pushes counted exactly: every particle alive during the mobility phase
-    advances once per mobility step it is present for (n_start * T plus a
-    half-life credit for the step's net spawns).
+    reference-bundled sine cross-section table, 256^3 grid, fused Pallas
+    engine;
+  * one 3-step device-resident warmup loop (compile + reach the
+    collision-churn regime), then a timed 3-step loop in a single device
+    dispatch;
+  * pushes counted from per-step metrics: every particle alive during a
+    mobility phase advances once per mobility step it is present for
+    (n_start * T plus a half-phase credit for the step's spawns).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,21 +17,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-import jax
 import jax.numpy as jnp
 
 BASELINE_PUSHES_PER_SEC = 1e9  # north star (BASELINE.json)
+WARM_STEPS = 3
+TIMED_STEPS = 3
 
 
 def main():
     from particle_simulation_tpu import SimConfig, setup_particles
     from particle_simulation_tpu.cross_section import load_table
-    from particle_simulation_tpu.ops.step import poisson_step
+    from particle_simulation_tpu.ops.step import poisson_loop
 
     config = SimConfig(
         init_n=1_000_000,
         capacity=2_000_000,
-        poisson_steps=4,
+        poisson_steps=WARM_STEPS + TIMED_STEPS,
         poisson_timestep=100,
         grid_size=(256, 256, 256),
         scheduler="dynamic",
@@ -36,21 +40,26 @@ def main():
     table = load_table()
     state = setup_particles(config)
 
-    # warmup / compile
-    state, metrics = poisson_step(state, jnp.uint32(0), table, config)
-    jax.block_until_ready(state)
+    # Warmup: compile + advance into the churn regime (collisions active).
+    state, metrics = poisson_loop(state, table, config, WARM_STEPS)
+    n_start = int(state.n)  # forces execution (block_until_ready is a no-op
+    # on some remote backends)
 
-    pushes = 0
     t0 = time.perf_counter()
-    for t in range(1, config.poisson_steps):
-        n_start = int(state.n)
-        state, metrics = poisson_step(state, jnp.uint32(t), table, config)
-        jax.block_until_ready(state)
-        added = int(metrics["added"])
-        pushes += n_start * config.poisson_timestep + added * (
-            config.poisson_timestep // 2
-        )
+    state, metrics = poisson_loop(
+        state, table, config, TIMED_STEPS, first_index=WARM_STEPS
+    )
+    final_n = int(state.n)
     elapsed = time.perf_counter() - t0
+
+    t_mob = config.poisson_timestep
+    pushes = 0
+    n = n_start
+    for i in range(TIMED_STEPS):
+        added = int(metrics["added"][i])
+        pushes += n * t_mob + added * (t_mob // 2)
+        n = int(metrics["n"][i])
+    assert n == final_n
 
     value = pushes / elapsed
     print(

@@ -433,6 +433,13 @@ def mobility_phase_dynamic(
     c = state.capacity
     _, tile = _tile_dims(config)
     padded_capacity = ((c + tile - 1) // tile) * tile
+    # Child staging costs spawn_depth * padded_capacity * 48 B; clamp the
+    # depth so it fits the staging budget (suspend/resume keeps physics
+    # exact at ANY depth >= 1, shallower just means more sweeps).
+    budget_bytes = 4 * 1024**3
+    d_fit = max(1, budget_bytes // (padded_capacity * 48))
+    if config.spawn_depth > d_fit:
+        config = config.replace(spawn_depth=int(d_fit))
     scalars = jnp.stack(
         [
             jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32),

@@ -118,6 +118,40 @@ def poisson_step(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config", "num_steps"))
+def poisson_loop(
+    state: SimState, table, config: SimConfig, num_steps: int,
+    first_index: int = 0,
+):
+    """Run ``num_steps`` Poisson steps entirely on device (lax.scan): one
+    dispatch for the whole run, per-step metrics returned as stacked arrays.
+
+    The production/benchmark path — the host loop in runtime.run_pic exists
+    for observability hooks and early exit; this one trades those for zero
+    host round-trips.  A zero population short-circuits each remaining step
+    through a no-op branch (the reference breaks out of the loop,
+    src/pic.cu:556-559).
+    """
+    t_steps = jnp.asarray(config.poisson_timestep, jnp.int32)
+    cfg = config.replace(poisson_timestep=0)
+
+    def body(st, idx):
+        def live_step(s):
+            return _poisson_step_t(s, idx.astype(jnp.uint32), table, t_steps, cfg)
+
+        def dead_step(s):
+            zero = jnp.zeros((), jnp.int32)
+            return s, {
+                "n": zero, "added": zero, "removed": zero,
+                "overflow": jnp.zeros((), bool),
+            }
+
+        return jax.lax.cond(st.n > 0, live_step, dead_step, st)
+
+    indices = jnp.arange(num_steps, dtype=jnp.int32) + first_index
+    return jax.lax.scan(body, state, indices)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _poisson_step_t(
     state: SimState, poisson_index, table, t_steps, config: SimConfig

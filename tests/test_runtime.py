@@ -118,3 +118,28 @@ def test_zero_population_early_exit(capsys):
     assert run.final_n == 0
     assert len(run.steps) == 1  # exited after the first Poisson step
     assert "Hit 0" in capsys.readouterr().out
+
+
+def test_device_poisson_loop_matches_host_loop():
+    """poisson_loop (one dispatch, lax.scan) must equal the host-driven
+    loop step for step."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from particle_simulation_tpu.cross_section import bundled_paths, load_table
+    from particle_simulation_tpu.ops.step import poisson_loop
+    from particle_simulation_tpu.runtime import sorted_particle_array
+    from particle_simulation_tpu.state import setup_particles
+
+    cfg = SimConfig(
+        init_n=150, capacity=4000, poisson_steps=3, poisson_timestep=5,
+        grid_size=(16, 16, 16),
+        cross_section_path=bundled_paths()[1],
+    )
+    table = load_table(cfg.cross_section_path)
+    host = run_pic(cfg, table=table, print_header=False)
+    final, metrics = poisson_loop(setup_particles(cfg), table, cfg, 3)
+    assert [int(x) for x in metrics["n"]] == [m.n for m in host.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(host.state), sorted_particle_array(final)
+    )
