@@ -42,7 +42,7 @@ class SimConfig:
     precision: str = "f32"
     # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).
     kernel_loop: str = "while"     # "while" (skip-capable) | "fori"
-    kernel_sublanes: int = 32      # fused-kernel tile = sublanes x 128
+    kernel_sublanes: int = 16      # fused-kernel tile = sublanes x 128 (A/B best)
     # Threefry-2x32 rounds for the per-step draws.  13 is the
     # BigCrush-passing minimum with margin (Salmon et al., SC'11); 20 is the
     # library-conservative choice.  All engines share the value, so any
