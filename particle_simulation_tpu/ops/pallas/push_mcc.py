@@ -398,8 +398,9 @@ def _fields_to_state(state: SimState, fields) -> SimState:
     )
 
 
-def _append_staged(state: SimState, children) -> SimState:
-    """Compact the (D, rows, LANES) staging buffers into slots [n, n+k).
+def _append_staged(fields, n, children, capacity):
+    """Compact the (D, rows, LANES) staging buffers into slots [n, n+k) of
+    the field-layout arrays.
 
     Validity = staged status > 0 (processed tiles zero their buffers before
     writing; skipped tiles zero the status plane)."""
@@ -411,7 +412,7 @@ def _append_staged(state: SimState, children) -> SimState:
         ],
         axis=1,
     )
-    return population.append_packed(state, valid, packed)
+    return population.append_packed_flat(fields, n, valid, packed, capacity)
 
 
 def mobility_phase_dynamic(
@@ -447,19 +448,23 @@ def mobility_phase_dynamic(
         ]
     )
 
-    def cond(st):
-        slot = jnp.arange(st.capacity, dtype=jnp.int32)
-        return jnp.any(_is_unfinished(st.status) & (slot < st.n_clamped))
+    # Stay in the kernel's field layout across ALL sweeps (no per-pass
+    # SimState round trips — traced as ~15 ms/pass of pure data movement).
+    fields0 = _state_to_fields(state, padded_capacity)
 
-    def body(st):
-        fields = _state_to_fields(st, padded_capacity)
+    def cond(carry):
+        fields, _n = carry
+        return jnp.any(_is_unfinished(fields[9]))
+
+    def body(carry):
+        fields, n = carry
         new_fields, children = _sweep_pass(
             fields, table, scalars, config, padded_capacity
         )
-        st = _fields_to_state(st, new_fields)
-        return _append_staged(st, children)
+        return _append_staged(new_fields, n, children, c)
 
-    state = jax.lax.while_loop(cond, body, state)
+    fields, n = jax.lax.while_loop(cond, body, (fields0, state.n))
+    state = _fields_to_state(state, fields)._replace(n=n)
     # Decode finished markers back to the reference's status stamps.
     status = jnp.where(
         _is_finished(state.status), _decode_finished(state.status), state.status

@@ -104,6 +104,52 @@ def append_from(state: SimState, valid, fields: Particles) -> SimState:
     )
 
 
+def _append_plan(valid, n, dest_domain, capacity):
+    """(is_new, src_for_dest, k): destination-side gather plan placing the
+    valid staged entries at slots [n, n+k) of a dest_domain-sized array,
+    dropping (but counting) entries beyond ``capacity``."""
+    s_dom = valid.shape[0]
+    perm, k = compaction_perm(valid)
+    slot = jnp.arange(dest_domain, dtype=jnp.int32)
+    dest_rank = slot - n
+    is_new = (dest_rank >= 0) & (dest_rank < k) & (slot < capacity)
+    src = _sorted_take(
+        perm,
+        jnp.minimum(jnp.arange(dest_domain, dtype=jnp.int32), s_dom - 1),
+        unique=s_dom >= dest_domain,
+    )
+    src = src[jnp.clip(dest_rank, 0, dest_domain - 1)]
+    src_for_dest = jnp.where(
+        dest_rank < 0, 0, jnp.where(is_new, src, s_dom - 1)
+    )
+    return is_new, src_for_dest, k
+
+
+def append_packed_flat(fields, n, valid, packed_i32, capacity):
+    """Append staged children into component arrays kept in the fused
+    engine's (rows, 128) field layout — no SimState round trip.
+
+    ``fields`` is the 12-tuple in physics.Particles order; returns
+    (new_fields, new_n).
+    """
+    import jax.lax as lax
+
+    rows_shape = fields[0].shape
+    dest_domain = rows_shape[0] * rows_shape[1]
+    is_new, src_for_dest, k = _append_plan(valid, n, dest_domain, capacity)
+    rows = packed_i32.at[src_for_dest].get(
+        indices_are_sorted=True, mode="promise_in_bounds"
+    )  # (dest_domain, 12) i32
+
+    out = []
+    for j, f in enumerate(fields):
+        col = lax.bitcast_convert_type(rows[:, j], f.dtype)
+        out.append(
+            jnp.where(is_new, col, f.reshape(-1)).reshape(rows_shape)
+        )
+    return tuple(out), n + k
+
+
 def append_packed(state: SimState, valid, packed_i32) -> SimState:
     """Append from an (S, 12) int32-bitcast staged matrix in one row gather.
 
