@@ -41,7 +41,9 @@ def main():
     state = setup_particles(config)
 
     # Warmup: compile + advance into the churn regime (collisions active).
-    state, metrics = poisson_loop(state, table, config, WARM_STEPS)
+    # first_index is passed explicitly both times: a defaulted argument is
+    # baked into the trace as a constant and passing it later retraces.
+    state, metrics = poisson_loop(state, table, config, WARM_STEPS, first_index=0)
     n_start = int(state.n)  # forces execution (block_until_ready is a no-op
     # on some remote backends)
 
