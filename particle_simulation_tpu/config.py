@@ -48,6 +48,9 @@ class SimConfig:
     # library-conservative choice.  All engines share the value, so any
     # choice is self-consistent and deterministic.
     rng_rounds: int = 13
+    # Fast-append window for the fused engine: per-sweep spawns up to this
+    # count take the windowed gather+dynamic_update_slice path.
+    append_window: int = 1 << 20
     lookup_mode: str = "band0"     # "band0" | "minmax" chunk sweep
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve

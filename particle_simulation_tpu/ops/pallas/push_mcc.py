@@ -398,7 +398,7 @@ def _fields_to_state(state: SimState, fields) -> SimState:
     )
 
 
-def _append_staged(fields, n, children, capacity):
+def _append_staged(fields, n, children, capacity, window):
     """Compact the (D, rows, LANES) staging buffers into slots [n, n+k) of
     the field-layout arrays.
 
@@ -412,7 +412,9 @@ def _append_staged(fields, n, children, capacity):
         ],
         axis=1,
     )
-    return population.append_packed_flat(fields, n, valid, packed, capacity)
+    return population.append_packed_flat(
+        fields, n, valid, packed, capacity, window
+    )
 
 
 def mobility_phase_dynamic(
@@ -433,7 +435,10 @@ def mobility_phase_dynamic(
         )
     c = state.capacity
     _, tile = _tile_dims(config)
-    padded_capacity = ((c + tile - 1) // tile) * tile
+    # window headroom: the fast append writes a full window at offset n;
+    # padding beyond capacity absorbs the overhang without clamping.
+    window = min(config.append_window, c)
+    padded_capacity = ((c + window + tile - 1) // tile) * tile
     # Child staging costs spawn_depth * padded_capacity * 48 B; clamp the
     # depth so it fits the staging budget (suspend/resume keeps physics
     # exact at ANY depth >= 1, shallower just means more sweeps).
@@ -461,7 +466,7 @@ def mobility_phase_dynamic(
         new_fields, children = _sweep_pass(
             fields, table, scalars, config, padded_capacity
         )
-        return _append_staged(new_fields, n, children, c)
+        return _append_staged(new_fields, n, children, c, window)
 
     fields, n = jax.lax.while_loop(cond, body, (fields0, state.n))
     state = _fields_to_state(state, fields)._replace(n=n)

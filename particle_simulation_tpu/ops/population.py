@@ -24,6 +24,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import STATUS_ALIVE, STATUS_DEAD, STATUS_EMPTY
@@ -125,9 +126,21 @@ def _append_plan(valid, n, dest_domain, capacity):
     return is_new, src_for_dest, k
 
 
-def append_packed_flat(fields, n, valid, packed_i32, capacity):
+def append_packed_flat(fields, n, valid, packed_i32, capacity, window=1 << 20):
     """Append staged children into component arrays kept in the fused
     engine's (rows, 128) field layout — no SimState round trip.
+
+    Fast path (spawn count k <= ``window``): gather only a (window, 12) row
+    block and write it contiguously at offset n with dynamic_update_slice —
+    the gather/merge cost scales with the window, not the capacity.  Slots
+    in [n+k, n+window) are rewritten as zeros, which is exactly the EMPTY
+    invariant those slots already satisfy; entries that would land at or
+    beyond ``capacity`` are zeroed too (dropped but counted — reference
+    overflow semantics).  The destination arrays must carry >= window slots
+    of padding beyond ``capacity`` so the slice never clamps onto real data
+    (mobility_phase_dynamic sizes the padding accordingly).
+
+    Slow path (k > window): full-width destination-side gather.
 
     ``fields`` is the 12-tuple in physics.Particles order; returns
     (new_fields, new_n).
@@ -136,18 +149,43 @@ def append_packed_flat(fields, n, valid, packed_i32, capacity):
 
     rows_shape = fields[0].shape
     dest_domain = rows_shape[0] * rows_shape[1]
-    is_new, src_for_dest, k = _append_plan(valid, n, dest_domain, capacity)
-    rows = packed_i32.at[src_for_dest].get(
-        indices_are_sorted=True, mode="promise_in_bounds"
-    )  # (dest_domain, 12) i32
+    s_dom = valid.shape[0]
+    perm, k = compaction_perm(valid)
 
-    out = []
-    for j, f in enumerate(fields):
-        col = lax.bitcast_convert_type(rows[:, j], f.dtype)
-        out.append(
-            jnp.where(is_new, col, f.reshape(-1)).reshape(rows_shape)
+    def fast(_):
+        rank = jnp.arange(window, dtype=jnp.int32)
+        src = jnp.where(
+            rank < k,
+            _sorted_take(perm, jnp.minimum(rank, s_dom - 1)),
+            s_dom - 1,
         )
-    return tuple(out), n + k
+        rows = packed_i32.at[src].get(
+            indices_are_sorted=True, mode="promise_in_bounds"
+        )  # (window, 12)
+        keep = (rank < k) & (n + rank < capacity)
+        rows = jnp.where(keep[:, None], rows, 0)
+        out = []
+        for j, f in enumerate(fields):
+            col = lax.bitcast_convert_type(rows[:, j], f.dtype)
+            flat = lax.dynamic_update_slice(f.reshape(-1), col, (n,))
+            out.append(flat.reshape(rows_shape))
+        return tuple(out)
+
+    def slow(_):
+        is_new, src_for_dest, _k = _append_plan(valid, n, dest_domain, capacity)
+        rows = packed_i32.at[src_for_dest].get(
+            indices_are_sorted=True, mode="promise_in_bounds"
+        )
+        out = []
+        for j, f in enumerate(fields):
+            col = lax.bitcast_convert_type(rows[:, j], f.dtype)
+            out.append(jnp.where(is_new, col, f.reshape(-1)).reshape(rows_shape))
+        return tuple(out)
+
+    if window >= dest_domain:
+        return slow(None), n + k
+    new_fields = jax.lax.cond(k <= window, fast, slow, None)
+    return new_fields, n + k
 
 
 def append_packed(state: SimState, valid, packed_i32) -> SimState:

@@ -62,3 +62,16 @@ def test_dynamic_nonaligned_capacity():
     np.testing.assert_array_equal(
         sorted_particle_array(base.state), sorted_particle_array(dyn.state)
     )
+
+
+def test_dynamic_windowed_append_paths():
+    """Small append_window exercises the fast (windowed) path and, with a
+    tiny window, the compiled fallback; both must match the oracle."""
+    for window in (64, 4096):
+        cfg = CFG.replace(append_window=window, poisson_steps=2)
+        base = run_pic(cfg.replace(scheduler="sync"), print_header=False)
+        dyn = run_pic(cfg.replace(scheduler="dynamic"), print_header=False)
+        assert dyn.final_n == base.final_n, window
+        np.testing.assert_array_equal(
+            sorted_particle_array(base.state), sorted_particle_array(dyn.state)
+        )
