@@ -37,7 +37,7 @@ class SimConfig:
     # ---- numerics / engine knobs (new-framework-only) ----
     # Max children one particle may spawn within a single Poisson step when
     # running the fused Pallas engine (per-lane child buffer depth).
-    spawn_depth: int = 8
+    spawn_depth: int = 4
     # dtype for positions/velocities: "f32" (TPU) or "f64" (CPU oracle runs).
     precision: str = "f32"
     # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).
