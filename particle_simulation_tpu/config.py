@@ -50,7 +50,8 @@ class SimConfig:
     rng_rounds: int = 13
     # Fast-append window for the fused engine: per-sweep spawns up to this
     # count take the windowed gather+dynamic_update_slice path.
-    append_window: int = 1 << 20
+    # 0 = auto (max(1M, capacity/4)).
+    append_window: int = 0
     lookup_mode: str = "band0"     # "band0" | "minmax" chunk sweep
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve

@@ -437,7 +437,8 @@ def mobility_phase_dynamic(
     _, tile = _tile_dims(config)
     # window headroom: the fast append writes a full window at offset n;
     # padding beyond capacity absorbs the overhang without clamping.
-    window = min(config.append_window, c)
+    window = config.append_window or max(1 << 20, c // 4)
+    window = min(window, c)
     padded_capacity = ((c + window + tile - 1) // tile) * tile
     # Child staging costs spawn_depth * padded_capacity * 48 B; clamp the
     # depth so it fits the staging budget (suspend/resume keeps physics
