@@ -42,6 +42,10 @@ def parse_args(argv) -> tuple[str, SimConfig]:
             cfg = cfg.replace(seed=int(val))
         elif key == "precision":
             cfg = cfg.replace(precision=val)
+            if val == "f64":
+                import jax
+
+                jax.config.update("jax_enable_x64", True)
         elif key == "field":
             cfg = cfg.replace(field_model=val)
         elif key == "platform":
