@@ -403,35 +403,18 @@ def _append_staged(fields, n, children, capacity, window):
     the field-layout arrays.
 
     Validity = staged status > 0 (processed tiles zero their buffers before
-    writing; skipped tiles zero the status plane).  Depth layers append
-    sequentially, each skipped entirely when empty — layer 0 holds almost
-    all children (a particle's d-th child needs d prior splits in one
-    sweep), so the append argsort runs over one capacity-sized layer at a
-    time instead of the full D-deep staging domain, and empty layers cost
-    one reduction."""
-    d_layers = children[9].shape[0]
-
-    def layer_append(flds, nn, d):
-        valid = (children[9][d] > 0).reshape(-1)
-
-        def do(_):
-            # built inside the branch so empty layers never pay the pack
-            packed = jnp.stack(
-                [
-                    jax.lax.bitcast_convert_type(c[d].reshape(-1), jnp.int32)
-                    for c in children
-                ],
-                axis=1,
-            )
-            return population.append_packed_flat(
-                flds, nn, valid, packed, capacity, window
-            )
-
-        return jax.lax.cond(jnp.any(valid), do, lambda _: (flds, nn), None)
-
-    for d in range(d_layers):
-        fields, n = layer_append(fields, n, d)
-    return fields, n
+    writing; skipped tiles zero the status plane)."""
+    valid = (children[9] > 0).reshape(-1)
+    packed = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(c.reshape(-1), jnp.int32)
+            for c in children
+        ],
+        axis=1,
+    )
+    return population.append_packed_flat(
+        fields, n, valid, packed, capacity, window
+    )
 
 
 def mobility_phase_dynamic(

@@ -241,32 +241,9 @@ def append_packed(state: SimState, valid, packed_i32) -> SimState:
 def compact(state: SimState) -> SimState:
     """Drop dead particles, close ranks (stable), reset survivors to ALIVE.
 
-    Fast path: when nothing died and there was no capacity overflow, the
-    permutation is the identity — only the status stamps need resetting.
-    Otherwise: one packed (C, 11) int32 row gather instead of 11 element
-    gathers (status is rebuilt, not gathered).
+    One packed (C, 11) int32 row gather instead of 11 element gathers
+    (status is rebuilt, not gathered).
     """
-    import jax.lax as lax
-
-    c = state.capacity
-    slot = jnp.arange(c, dtype=jnp.int32)
-    live = is_live(state.status) & (slot < state.n_clamped)
-    n_live = jnp.sum(live, dtype=jnp.int32)
-    trivial = (n_live == state.n) & (state.n <= c)
-
-    def fast(st):
-        keep = slot < st.n
-        return st._replace(
-            status=jnp.where(keep, STATUS_ALIVE, STATUS_EMPTY).astype(jnp.int32)
-        )
-
-    def slow(st):
-        return _compact_full(st)
-
-    return jax.lax.cond(trivial, fast, slow, state)
-
-
-def _compact_full(state: SimState) -> SimState:
     import jax.lax as lax
 
     c = state.capacity
