@@ -7,9 +7,9 @@ Protocol (BASELINE.md north star: >= 1e9 pushes/sec/chip):
   * one 3-step device-resident warmup loop (compile + reach the
     collision-churn regime), then a timed 3-step loop in a single device
     dispatch;
-  * pushes counted from per-step metrics: every particle alive during a
-    mobility phase advances once per mobility step it is present for
-    (n_start * T plus a half-phase credit for the step's spawns).
+  * pushes counted EXACTLY: the engines count every lane-step actually
+    advanced (metrics["pushes"]), so the metric is ground truth, not an
+    estimate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -44,7 +44,7 @@ def main():
     # first_index is passed explicitly both times: a defaulted argument is
     # baked into the trace as a constant and passing it later retraces.
     state, metrics = poisson_loop(state, table, config, WARM_STEPS, first_index=0)
-    n_start = int(state.n)  # forces execution (block_until_ready is a no-op
+    _ = int(state.n)  # forces execution (block_until_ready is a no-op
     # on some remote backends)
 
     t0 = time.perf_counter()
@@ -54,14 +54,8 @@ def main():
     final_n = int(state.n)
     elapsed = time.perf_counter() - t0
 
-    t_mob = config.poisson_timestep
-    pushes = 0
-    n = n_start
-    for i in range(TIMED_STEPS):
-        added = int(metrics["added"][i])
-        pushes += n * t_mob + added * (t_mob // 2)
-        n = int(metrics["n"][i])
-    assert n == final_n
+    pushes = float(jnp.sum(metrics["pushes"]))
+    assert int(metrics["n"][-1]) == final_n
 
     value = pushes / elapsed
     print(

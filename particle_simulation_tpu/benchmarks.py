@@ -72,13 +72,7 @@ def run_benchmark(
     return runs
 
 
-def estimate_pushes(run: RunData) -> int:
-    """Total particle-pushes executed: per Poisson step, every particle alive
-    during the mobility phase advances once per mobility step it sees.
-    Approximated as (n_start * T) + spawned * T/2 per step."""
-    total = 0
-    t_mob = run.config.poisson_timestep
-    for m in run.steps:
-        n_start = m.n + m.removed - m.added  # population entering the step
-        total += n_start * t_mob + m.added * (t_mob // 2)
-    return total
+def estimate_pushes(run: RunData) -> float:
+    """Total particle-pushes executed — exact, counted by the engines
+    (StepMetrics.pushes)."""
+    return sum(m.pushes for m in run.steps)

@@ -167,7 +167,7 @@ def _mobility_kernel(
     n_chunks: int,
     scal_ref,          # SMEM (2,): [poisson_step, t_steps]
     # 12 input field refs, 2 table refs, 12 output field refs,
-    # 12 child refs — bound positionally below.
+    # 12 child refs, pushes counter — bound positionally below.
     *refs,
 ):
     SUBLANES, TILE = _tile_dims(config)
@@ -176,10 +176,17 @@ def _mobility_kernel(
     split_ref, remove_ref = refs[n_f : n_f + 2]
     out_refs = refs[n_f + 2 : 2 * n_f + 2]
     child_refs = refs[2 * n_f + 2 : 3 * n_f + 2]
+    pushes_ref = refs[3 * n_f + 2]
 
     status0 = in_refs[9][:, :]
     unf0 = _is_unfinished(status0)
     tile_active = jnp.any(unf0)
+
+    # Exact work counter (lanes actually advanced), accumulated across the
+    # sequential tile sweep; f32 so huge totals merely round.
+    @pl.when(pl.program_id(0) == 0)
+    def _init_pushes():
+        pushes_ref[0, 0] = 0.0
 
     @pl.when(jnp.logical_not(tile_active))
     def _passthrough():
@@ -216,7 +223,7 @@ def _mobility_kernel(
         tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
 
         def step_work(t, carry):
-            *fields, depth, susp, susp_t = carry
+            *fields, depth, susp, susp_t, pushes = carry
             p = Particles(**dict(zip(FIELD_NAMES, fields)))
             candidate = (
                 unf0 & population.is_live(p.status) & (t >= start0)
@@ -247,7 +254,8 @@ def _mobility_kernel(
                 val = getattr(child, name).astype(r.dtype)
                 r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
             depth = depth + res.spawn.astype(jnp.int32)
-            return (*res.particles, depth, susp, susp_t)
+            pushes = pushes + jnp.sum(active, dtype=jnp.int32)
+            return (*res.particles, depth, susp, susp_t, pushes)
 
         zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
         init = (
@@ -260,6 +268,7 @@ def _mobility_kernel(
             zeros,                       # suspended (i32 0/1: Mosaic can't
                                          # carry i1 vectors through scf.while)
             zeros,                       # suspension step
+            jnp.zeros((), jnp.int32),    # pushes this pass
         )
 
         def loop_cond(carry):
@@ -277,8 +286,9 @@ def _mobility_kernel(
 
         final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
         fields = final[:n_f]
-        depth, susp, susp_t = final[n_f:]
+        depth, susp, susp_t, tile_pushes = final[n_f:]
         stamp = fields[9]
+        pushes_ref[0, 0] = pushes_ref[0, 0] + tile_pushes.astype(jnp.float32)
 
         live_end = population.is_live(stamp)
         status_out = jnp.where(
@@ -340,10 +350,12 @@ def _sweep_pass(fields, table, scalars, config: SimConfig, padded_capacity: int)
             )
             for n in FIELD_NAMES
         )
+        + (jax.ShapeDtypeStruct((1, 1), jnp.float32),)
     )
     out_specs = (
         tuple(field_block for _ in FIELD_NAMES)
         + tuple(child_block for _ in FIELD_NAMES)
+        + (pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM),)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -362,7 +374,7 @@ def _sweep_pass(fields, table, scalars, config: SimConfig, padded_capacity: int)
         interpret=jax.default_backend() != "tpu",
     )(scalars, *fields, split2d, remove2d)
     n_f = len(FIELD_NAMES)
-    return outs[:n_f], outs[n_f : 2 * n_f]
+    return outs[:n_f], outs[n_f : 2 * n_f], outs[2 * n_f][0, 0]
 
 
 def _state_to_fields(state: SimState, padded_capacity: int):
@@ -459,20 +471,23 @@ def mobility_phase_dynamic(
     fields0 = _state_to_fields(state, padded_capacity)
 
     def cond(carry):
-        fields, _n = carry
+        fields, _n, _pushes = carry
         return jnp.any(_is_unfinished(fields[9]))
 
     def body(carry):
-        fields, n = carry
-        new_fields, children = _sweep_pass(
+        fields, n, pushes = carry
+        new_fields, children, pass_pushes = _sweep_pass(
             fields, table, scalars, config, padded_capacity
         )
-        return _append_staged(new_fields, n, children, c, window)
+        fields, n = _append_staged(new_fields, n, children, c, window)
+        return fields, n, pushes + pass_pushes
 
-    fields, n = jax.lax.while_loop(cond, body, (fields0, state.n))
+    fields, n, pushes = jax.lax.while_loop(
+        cond, body, (fields0, state.n, jnp.float32(0.0))
+    )
     state = _fields_to_state(state, fields)._replace(n=n)
     # Decode finished markers back to the reference's status stamps.
     status = jnp.where(
         _is_finished(state.status), _decode_finished(state.status), state.status
     )
-    return state._replace(status=status)
+    return state._replace(status=status), pushes

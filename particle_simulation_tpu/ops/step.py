@@ -144,6 +144,7 @@ def poisson_loop(
             return s, {
                 "n": zero, "added": zero, "removed": zero,
                 "overflow": jnp.zeros((), bool),
+                "pushes": jnp.zeros((), jnp.float32),
             }
 
         return jax.lax.cond(st.n > 0, live_step, dead_step, st)
@@ -161,7 +162,7 @@ def _poisson_step_t(
     state = grid_phase(state, config)
     n_start = state.n_clamped
 
-    state = get_mobility_phase(config.scheduler)(
+    state, pushes = get_mobility_phase(config.scheduler)(
         state, poisson_index, table, config, t_steps
     )
 
@@ -175,5 +176,6 @@ def _poisson_step_t(
         "added": added,
         "removed": removed,
         "overflow": overflow,
+        "pushes": pushes,
     }
     return compacted, metrics

@@ -112,7 +112,7 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
 
         # ---- mobility phase + compaction: fully shard-local ----
         n_start = state.n_clamped
-        state = mobility_phase(
+        state, pushes = mobility_phase(
             state, poisson_index, table, config,
             jnp.asarray(config.poisson_timestep, jnp.int32),
         )
@@ -126,6 +126,7 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
             "added": jax.lax.psum(added, "dp"),
             "removed": jax.lax.psum(removed_local, "dp"),
             "overflow": jax.lax.psum(overflow_local.astype(jnp.int32), "dp") > 0,
+            "pushes": jax.lax.psum(pushes, "dp"),
         }
         return state._replace(n=state.n[None]), metrics
 
@@ -141,7 +142,8 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
         out_specs=(
             SimState(pos=P("dp"), vel=P("dp"), acc=P("dp"), status=P("dp"),
                      id_hi=P("dp"), id_lo=P("dp"), n=P("dp")),
-            {"n": P(), "added": P(), "removed": P(), "overflow": P()},
+            {"n": P(), "added": P(), "removed": P(), "overflow": P(),
+             "pushes": P()},
         ),
         check_vma=False,
     )

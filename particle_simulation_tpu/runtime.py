@@ -32,6 +32,7 @@ class StepMetrics:
     removed: int
     wall_s: float
     overflow: bool
+    pushes: float = 0.0
 
 
 @dataclasses.dataclass
@@ -101,6 +102,7 @@ def run_pic(
             removed=int(metrics["removed"]),
             wall_s=dt_wall,
             overflow=bool(metrics["overflow"]),
+            pushes=float(metrics["pushes"]),
         )
         steps.append(m)
         total_added += m.added

@@ -43,7 +43,10 @@ from .ops.step import (
 
 
 def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_hi):
-    """One mobility step restricted to slots in [range_lo, range_hi)."""
+    """One mobility step restricted to slots in [range_lo, range_hi).
+
+    Returns (state, pushes) where pushes counts the lanes that actually
+    advanced this step (the benchmark's ground-truth work metric)."""
     p = state_to_particles(state)
     slot = jnp.arange(state.capacity, dtype=jnp.int32)
     active = (
@@ -57,7 +60,8 @@ def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_h
         table_lookup=make_table_lookup(table),
     )
     state = particles_to_state(state, res.particles)
-    return population.append_children(state, res.spawn, res.child)
+    state = population.append_children(state, res.spawn, res.child)
+    return state, jnp.sum(active, dtype=jnp.int32).astype(jnp.float32)
 
 
 def mobility_phase_naive(
@@ -67,10 +71,14 @@ def mobility_phase_naive(
     ``t_steps`` (the mobility-step count) is traced, so one compilation
     covers every sweep point."""
 
-    def body(t, st):
-        return _one_step(st, t, poisson_step, table, config, 0, st.n_clamped)
+    def body(t, carry):
+        st, pushes = carry
+        st, dp = _one_step(st, t, poisson_step, table, config, 0, st.n_clamped)
+        return st, pushes + dp
 
-    return jax.lax.fori_loop(1, t_steps + 1, body, state)
+    return jax.lax.fori_loop(
+        1, t_steps + 1, body, (state, jnp.float32(0.0))
+    )
 
 
 def mobility_phase_sync(
@@ -82,23 +90,25 @@ def mobility_phase_sync(
     because a child spawned at step t only starts at t+1."""
 
     def gen_cond(carry):
-        st, gen_lo = carry
+        st, gen_lo, _pushes = carry
         return st.n_clamped > gen_lo
 
     def gen_body(carry):
-        st, gen_lo = carry
+        st, gen_lo, pushes = carry
         gen_hi = st.n_clamped
 
-        def body(t, s):
-            return _one_step(s, t, poisson_step, table, config, gen_lo, gen_hi)
+        def body(t, c):
+            s, acc = c
+            s, dp = _one_step(s, t, poisson_step, table, config, gen_lo, gen_hi)
+            return s, acc + dp
 
-        st = jax.lax.fori_loop(1, t_steps + 1, body, st)
-        return st, gen_hi
+        st, pushes = jax.lax.fori_loop(1, t_steps + 1, body, (st, pushes))
+        return st, gen_hi, pushes
 
-    state, _ = jax.lax.while_loop(
-        gen_cond, gen_body, (state, jnp.zeros((), jnp.int32))
+    state, _, pushes = jax.lax.while_loop(
+        gen_cond, gen_body, (state, jnp.zeros((), jnp.int32), jnp.float32(0.0))
     )
-    return state
+    return state, pushes
 
 
 def get_mobility_phase(name: str):

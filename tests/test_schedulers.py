@@ -55,3 +55,15 @@ def test_deterministic_across_runs():
     np.testing.assert_array_equal(
         sorted_particle_array(a.state), sorted_particle_array(b.state)
     )
+
+
+def test_push_counts_identical_across_cadences():
+    """Every cadence executes the exact same multiset of particle-steps, so
+    the engines' counted pushes must agree exactly."""
+    runs = {
+        s: run_pic(CFG.replace(scheduler=s), print_header=False)
+        for s in ("naive", "sync", "dynamic")
+    }
+    counts = {s: [m.pushes for m in r.steps] for s, r in runs.items()}
+    assert counts["naive"] == counts["sync"] == counts["dynamic"]
+    assert sum(counts["naive"]) > 0
