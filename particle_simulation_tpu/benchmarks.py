@@ -56,7 +56,7 @@ def run_benchmark(
     runs: List[RunData] = []
     for cfg in sweep_configs(profile):
         t0 = time.perf_counter()
-        run = run_pic(cfg, print_header=False)
+        run = run_pic(cfg, print_header=False, auto_bucket=True)
         wall = time.perf_counter() - t0
         if run.final_n >= cfg.capacity:
             print("Illegal configuration, capacity reached — skipping record")

@@ -55,6 +55,55 @@ class RunData:
         }[self.config.scheduler]
 
 
+def _bucket_size(n: int, capacity: int, floor: int = 1 << 16) -> int:
+    """Power-of-2 working capacity with >= 2x headroom over the population
+    (clamped to the true capacity)."""
+    w = floor
+    while w < 2 * n and w < capacity:
+        w <<= 1
+    return min(w, capacity)
+
+
+def _slice_state(state: SimState, w: int) -> SimState:
+    return SimState(
+        pos=state.pos[:w], vel=state.vel[:w], acc=state.acc[:w],
+        status=state.status[:w], id_hi=state.id_hi[:w], id_lo=state.id_lo[:w],
+        n=state.n,
+    )
+
+
+def _merge_state(full: SimState, part: SimState, w: int) -> SimState:
+    cat = lambda a, b: jnp.concatenate([a, b[w:]], axis=0)
+    return SimState(
+        pos=cat(part.pos, full.pos), vel=cat(part.vel, full.vel),
+        acc=cat(part.acc, full.acc), status=cat(part.status, full.status),
+        id_hi=cat(part.id_hi, full.id_hi), id_lo=cat(part.id_lo, full.id_lo),
+        n=part.n,
+    )
+
+
+def _bucketed_step(state, poisson_index, table, config):
+    """One Poisson step on the smallest power-of-2 working prefix that holds
+    the population with headroom (SURVEY.md §7 'hard parts' (i)).
+
+    If growth overflows the working capacity, the step is simply REDONE at
+    the next bucket — physics is a pure function of genealogy, so the retry
+    is bit-exact, and dropped-children states are discarded wholesale.
+    """
+    n = int(state.n)
+    w = _bucket_size(n, config.capacity)
+    while True:
+        if w >= config.capacity:
+            return poisson_step(state, poisson_index, table, config)
+        part = _slice_state(state, w)
+        new_part, metrics = poisson_step(
+            part, poisson_index, table, config.replace(capacity=w)
+        )
+        if not bool(metrics["overflow"]):
+            return _merge_state(state, new_part, w), metrics
+        w = _bucket_size(w + 1, config.capacity)  # redo bigger (exact)
+
+
 def run_pic(
     config: SimConfig,
     table: Optional[jnp.ndarray] = None,
@@ -62,6 +111,7 @@ def run_pic(
     print_header: bool = True,
     initial_state: Optional[SimState] = None,
     first_poisson_index: int = 0,
+    auto_bucket: bool = False,
 ) -> RunData:
     """Run the full simulation per ``config``; the reference's runPIC.
 
@@ -89,7 +139,8 @@ def run_pic(
         if on_step is not None and config.verbose and t % config.verbose == 0:
             on_step(t, state)
         t0 = time.perf_counter()
-        state, metrics = poisson_step(
+        step_fn = _bucketed_step if auto_bucket else poisson_step
+        state, metrics = step_fn(
             state, jnp.uint32(t + first_poisson_index), table, config
         )
         n = int(metrics["n"])  # blocks

@@ -143,3 +143,36 @@ def test_device_poisson_loop_matches_host_loop():
     np.testing.assert_array_equal(
         sorted_particle_array(host.state), sorted_particle_array(final)
     )
+
+
+def test_auto_bucket_bit_exact():
+    """Bucketed execution (power-of-2 working prefixes + overflow retry)
+    must reproduce the full-capacity run exactly, including forced bucket
+    growth."""
+    import numpy as np
+
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import _bucket_size, sorted_particle_array
+
+    # tiny floor so the bucket machinery actually engages and must regrow
+    import particle_simulation_tpu.runtime as rt
+
+    cfg = SimConfig(
+        init_n=300, capacity=60_000, poisson_steps=3, poisson_timestep=6,
+        grid_size=(32, 32, 32),
+        cross_section_path=bundled_paths()[1],  # heavy churn -> growth
+    )
+    base = run_pic(cfg, print_header=False)
+
+    orig = rt._bucket_size
+    rt._bucket_size = lambda n, capacity, floor=512: orig(n, capacity, floor)
+    try:
+        bucketed = run_pic(cfg, print_header=False, auto_bucket=True)
+    finally:
+        rt._bucket_size = orig
+
+    assert bucketed.final_n == base.final_n
+    np.testing.assert_array_equal(
+        sorted_particle_array(base.state), sorted_particle_array(bucketed.state)
+    )
+    assert [m.n for m in bucketed.steps] == [m.n for m in base.steps]
