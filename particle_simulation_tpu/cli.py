@@ -17,6 +17,8 @@ import time
 
 from .config import SCHEDULER_MODES, SimConfig
 
+_CKPT_DIR = None
+
 
 def parse_args(argv) -> tuple[str, SimConfig]:
     mode = argv[0]
@@ -48,6 +50,9 @@ def parse_args(argv) -> tuple[str, SimConfig]:
                 jax.config.update("jax_enable_x64", True)
         elif key == "field":
             cfg = cfg.replace(field_model=val)
+        elif key == "ckpt":
+            global _CKPT_DIR
+            _CKPT_DIR = val
         elif key == "platform":
             import jax
 
@@ -75,7 +80,20 @@ def main(argv=None) -> int:
         from .observability import make_log_hook
         from .runtime import run_pic
 
-        run_pic(cfg, on_step=make_log_hook(cfg))
+        hook = make_log_hook(cfg)
+        if _CKPT_DIR:
+            from .checkpoint import make_checkpoint_hook
+
+            ckpt_hook = make_checkpoint_hook(cfg, _CKPT_DIR)
+            log_hook = hook
+
+            def hook(t, state):
+                log_hook(t, state)
+                ckpt_hook(t, state)
+
+            if not cfg.verbose:
+                cfg = cfg.replace(verbose=1)
+        run_pic(cfg, on_step=hook)
     elif mode == "test":
         from .testing import run_unit_test
 

@@ -56,8 +56,63 @@ def _sorted_take(arr, idx, unique=False):
 
 
 def append_children(state: SimState, spawn, child: Particles) -> SimState:
-    """Place this step's children at slots [n, n+k) in source order."""
-    return append_from(state, spawn, child)
+    """Place this step's children at slots [n, n+k) in source order.
+
+    f32 fast path: packed row gather over a spawn window written with
+    dynamic_update_slice (per-step spawn counts are small); falls back to
+    the full-width gather when the window or tail headroom is exceeded.
+    """
+    import jax.lax as lax
+
+    if state.pos.dtype != jnp.float32:
+        return append_from(state, spawn, child)
+
+    c = state.capacity
+    window = min(1 << 17, c)
+    perm, k = compaction_perm(spawn)
+
+    def fast(st):
+        rank = jnp.arange(window, dtype=jnp.int32)
+        src = jnp.where(
+            rank < k, _sorted_take(perm, jnp.minimum(rank, c - 1)), c - 1
+        )
+        packed = jnp.stack(
+            [
+                lax.bitcast_convert_type(getattr(child, name), jnp.int32)
+                for name in child._fields
+            ],
+            axis=1,
+        )
+        rows = packed.at[src].get(
+            indices_are_sorted=True, mode="promise_in_bounds"
+        )
+        keep = rank < k
+        rows = jnp.where(keep[:, None], rows, 0)
+        f32 = lambda cols: lax.bitcast_convert_type(cols, jnp.float32)
+        n = st.n
+        return st._replace(
+            pos=lax.dynamic_update_slice(st.pos, f32(rows[:, 0:3]), (n, 0)),
+            vel=lax.dynamic_update_slice(st.vel, f32(rows[:, 3:6]), (n, 0)),
+            acc=lax.dynamic_update_slice(st.acc, f32(rows[:, 6:9]), (n, 0)),
+            status=lax.dynamic_update_slice(st.status, rows[:, 9], (n,)),
+            id_hi=lax.dynamic_update_slice(
+                st.id_hi, lax.bitcast_convert_type(rows[:, 10], jnp.uint32), (n,)
+            ),
+            id_lo=lax.dynamic_update_slice(
+                st.id_lo, lax.bitcast_convert_type(rows[:, 11], jnp.uint32), (n,)
+            ),
+            n=n + k,
+        )
+
+    def slow(st):
+        return append_from(st, spawn, child)
+
+    if window >= c:
+        return slow(state)
+    # dynamic_update_slice clamps its start: the window must fit below the
+    # capacity or it would smear zeros over the tail.
+    ok = (k <= window) & (state.n + window <= c) & (state.n >= 0)
+    return lax.cond(ok, fast, slow, state)
 
 
 def append_from(state: SimState, valid, fields: Particles) -> SimState:

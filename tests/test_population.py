@@ -90,3 +90,33 @@ def test_compact_ignores_slots_beyond_n():
     st = st._replace(status=jnp.asarray(status), n=jnp.int32(3))
     out = compact(st)
     assert int(out.n) == 3
+
+
+def test_append_children_fast_path_matches_slow():
+    """Capacity above the fast-path window exercises the windowed
+    dynamic_update_slice append; physics must match the generic path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.ops.step import poisson_step
+    from particle_simulation_tpu.runtime import sorted_particle_array
+    from particle_simulation_tpu import SimConfig
+    from particle_simulation_tpu.state import setup_particles as setup
+
+    big = SimConfig(init_n=500, capacity=(1 << 17) + 4096, poisson_steps=2,
+                    poisson_timestep=5, grid_size=(32, 32, 32),
+                    cross_section_path=bundled_paths()[1], scheduler="naive")
+    small = big.replace(capacity=60_000)  # below window -> generic path
+    sb = setup(big)
+    ss = setup(small)
+    table = None
+    from particle_simulation_tpu.cross_section import load_table
+    table = load_table(big.cross_section_path)
+    for t in range(2):
+        sb, mb = poisson_step(sb, jnp.uint32(t), table, big)
+        ss, ms = poisson_step(ss, jnp.uint32(t), table, small)
+        assert int(mb["n"]) == int(ms["n"])
+    np.testing.assert_array_equal(
+        sorted_particle_array(sb), sorted_particle_array(ss)
+    )
