@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import STATUS_ALIVE, STATUS_DEAD, STATUS_EMPTY
+from ..constants import STATUS_ALIVE, STATUS_EMPTY
 from ..state import SimState
 from .physics import Particles
 

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..constants import STATUS_DEAD
 from ..state import SimState
 from . import grid as grid_ops
 from . import population

@@ -23,16 +23,13 @@ Weak scaling: capacity and init_n are per-chip-multiplied; BASELINE.json's
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
-from ..state import SimState, setup_particles, zero_state
+from ..state import SimState, setup_particles
 from ..ops import grid as grid_ops
 from ..ops import population
 from ..ops.step import grid_phase  # noqa: F401  (single-chip counterpart)
