@@ -122,3 +122,42 @@ def test_split_remove_partition():
     dead = np.asarray(res.particles.status) == STATUS_DEAD
     assert (spawn ^ dead).all()  # exactly one of the two
     assert abs(spawn.mean() - 0.30) < 0.03
+
+
+def test_boundary_cell_edges():
+    """Particles at exact domain/cell boundaries index and deposit sanely."""
+    import jax.numpy as jnp
+
+    from particle_simulation_tpu.ops import grid as g
+
+    grid = (8, 8, 8)
+    cell = 0.5
+    # exactly on a cell edge, exactly at domain max-epsilon, near zero
+    pos = jnp.asarray([
+        [0.5, 0.5, 0.5],            # exact interior edge -> cell 1
+        [3.9999998, 3.9999998, 3.9999998],  # just inside the last cell
+        [0.0, 0.0, 0.0],            # domain origin -> cell 0
+    ], jnp.float32)
+    idx = np.asarray(g.cell_indices(pos, cell, grid))
+    assert idx[0].tolist() == [1, 1, 1]
+    assert idx[1].tolist() == [7, 7, 7]
+    assert idx[2].tolist() == [0, 0, 0]
+
+
+def test_leapfrog_constant_acceleration_closed_form():
+    """n leapfrog steps under constant a: v_n = v0 - a n dt and
+    x_n = x0 + v0 n dt - a dt^2 n^2 / 2 (exact for leapfrog)."""
+    import jax
+
+    n_steps, dt, a0, v0, x0 = 50, 0.01, 3.0, 2.0, 1.0
+    p = mk_particles(1, px=[x0], vx=[v0], ax=[a0])
+
+    def body(_, pp):
+        return leapfrog(pp, dt)
+
+    out = jax.lax.fori_loop(0, n_steps, body, p)
+    t = n_steps * dt
+    assert np.isclose(float(out.vx[0]), v0 - a0 * t, rtol=1e-5)
+    assert np.isclose(
+        float(out.px[0]), x0 + v0 * t - 0.5 * a0 * t * t, rtol=1e-4
+    )
