@@ -42,7 +42,10 @@ class SimConfig:
     precision: str = "f32"
     # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).
     kernel_loop: str = "while"     # "while" (skip-capable) | "fori"
-    kernel_sublanes: int = 16      # fused-kernel tile = sublanes x 128 (A/B best)
+    # Fused-kernel tile = sublanes x 128.  A/B on the chip (2026-08):
+    # 16 -> 93.5 ms, 32 -> 64.4, 64 -> 54.5, 128 -> 42.6 per 1M x T=100
+    # sweep; 256+ exceeds VMEM.
+    kernel_sublanes: int = 128
     # Threefry-2x32 rounds for the per-step draws.  13 is the
     # BigCrush-passing minimum with margin (Salmon et al., SC'11); 20 is the
     # library-conservative choice.  All engines share the value, so any
