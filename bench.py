@@ -54,7 +54,10 @@ def main():
     final_n = int(state.n)
     elapsed = time.perf_counter() - t0
 
-    pushes = float(jnp.sum(metrics["pushes"]))
+    # exact: per-step base-2^30 i32 pairs summed as Python ints
+    lo = [int(x) for x in metrics["pushes_lo"]]
+    hi = [int(x) for x in metrics["pushes_hi"]]
+    pushes = float(sum(l + (h << 30) for l, h in zip(lo, hi)))
     assert int(metrics["n"][-1]) == final_n
 
     value = pushes / elapsed

@@ -6,34 +6,55 @@ with MODE in {bench, 30 (Dynamic), 31 (CPU Sync), 32 (Naive),
 33 (Dynamic Old), test}.
 
 Usage:  python -m particle_simulation_tpu 30 0 1000000 10 256 50000000 100 100
-Extra keyword-style overrides (grid=, cs=, seed=, precision=) are accepted
-after the positional args — a new-framework extension.
+Extra keyword-style overrides (grid=, cs=, seed=, precision=, mesh=N for a
+multi-chip run over an N-device mesh, ckpt=DIR, field=, platform=) are
+accepted after the positional args — a new-framework extension.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import time
 
 from .config import SCHEDULER_MODES, SimConfig
 
-_CKPT_DIR = None
+
+@dataclasses.dataclass
+class CliOptions:
+    mode: str
+    config: SimConfig
+    ckpt_dir: str = ""
+    mesh: int = 0          # 0 = single chip; N = shard over an N-device mesh
 
 
-def parse_args(argv) -> tuple[str, SimConfig]:
+def parse_args(argv) -> CliOptions:
     mode = argv[0]
     cfg = SimConfig()
-    if len(argv) >= 8:
+    positional = [a for a in argv[1:] if "=" not in a]
+    if mode in SCHEDULER_MODES or mode == "test":
+        # the reference requires all 8 positional args (src/main.cu:10-24);
+        # accept mode-only for defaults but reject partial arg lists
+        if positional and len(positional) != 7:
+            raise SystemExit(
+                "usage: MODE VERBOSE INIT_N MAX_T BLOCK_SIZE MAX_N "
+                "SLEEP_TIME POISSON_TS [key=value ...]\n"
+                f"got {len(positional) + 1} positional args, need 8"
+            )
+    if len(positional) == 7:
         cfg = cfg.replace(
-            verbose=int(argv[1]),
-            init_n=int(argv[2]),
-            poisson_steps=int(argv[3]),
-            block_size=int(argv[4]),
-            capacity=int(argv[5]),
-            sleep_time_ns=int(argv[6]),
-            poisson_timestep=int(argv[7]),
+            verbose=int(positional[0]),
+            init_n=int(positional[1]),
+            poisson_steps=int(positional[2]),
+            block_size=int(positional[3]),
+            capacity=int(positional[4]),
+            sleep_time_ns=int(positional[5]),
+            poisson_timestep=int(positional[6]),
         )
-    for extra in argv[8:]:
+    opts = CliOptions(mode=mode, config=cfg)
+    for extra in argv[1:]:
+        if "=" not in extra:
+            continue
         key, _, val = extra.partition("=")
         if key == "grid":
             g = int(val)
@@ -51,8 +72,9 @@ def parse_args(argv) -> tuple[str, SimConfig]:
         elif key == "field":
             cfg = cfg.replace(field_model=val)
         elif key == "ckpt":
-            global _CKPT_DIR
-            _CKPT_DIR = val
+            opts.ckpt_dir = val
+        elif key == "mesh":
+            opts.mesh = int(val)
         elif key == "platform":
             import jax
 
@@ -61,7 +83,41 @@ def parse_args(argv) -> tuple[str, SimConfig]:
             raise SystemExit(f"unknown override {extra!r}")
     if mode in SCHEDULER_MODES:
         cfg = cfg.replace(scheduler=SCHEDULER_MODES[mode])
-    return mode, cfg
+    opts.config = cfg
+    return opts
+
+
+def _run_sharded(opts: CliOptions) -> None:
+    """Multi-chip run: shard particles over an N-device mesh (mesh=N).
+
+    ``init_n``/``capacity`` keep their reference meaning as GLOBAL totals;
+    they are divided across shards.
+    """
+    import jax
+
+    from .parallel.sharded import make_mesh, run_pic_sharded
+
+    n = opts.mesh
+    if len(jax.devices()) < n:
+        raise SystemExit(
+            f"mesh={n} requested but only {len(jax.devices())} devices "
+            "visible (use XLA_FLAGS=--xla_force_host_platform_device_count"
+            "=N with platform=cpu for a virtual mesh)"
+        )
+    cfg = opts.config
+    per_shard = cfg.replace(
+        init_n=max(1, cfg.init_n // n), capacity=max(128, cfg.capacity // n)
+    )
+    mesh = make_mesh(n)
+    print(
+        f"PIC sharded over {n} devices: per-shard init_n={per_shard.init_n} "
+        f"capacity={per_shard.capacity}"
+    )
+    state, history = run_pic_sharded(per_shard, mesh)
+    last = history[-1] if history else {"n": 0}
+    print(f"Final amount of particles: {last['n']}")
+    print(f"Particles added: {sum(h['added'] for h in history)}")
+    print(f"Particles removed: {sum(h['removed'] for h in history)}")
 
 
 def main(argv=None) -> int:
@@ -70,30 +126,34 @@ def main(argv=None) -> int:
         print(__doc__)
         return 2
     start = time.perf_counter()
-    mode, cfg = parse_args(argv)
+    opts = parse_args(argv)
+    mode, cfg = opts.mode, opts.config
 
     if mode == "bench":
         from .benchmarks import run_benchmark
 
         run_benchmark()
     elif mode in SCHEDULER_MODES:
-        from .observability import make_log_hook
-        from .runtime import run_pic
+        if opts.mesh:
+            _run_sharded(opts)
+        else:
+            from .observability import make_log_hook
+            from .runtime import run_pic
 
-        hook = make_log_hook(cfg)
-        if _CKPT_DIR:
-            from .checkpoint import make_checkpoint_hook
+            hook = make_log_hook(cfg)
+            if opts.ckpt_dir:
+                from .checkpoint import make_checkpoint_hook
 
-            ckpt_hook = make_checkpoint_hook(cfg, _CKPT_DIR)
-            log_hook = hook
+                ckpt_hook = make_checkpoint_hook(cfg, opts.ckpt_dir)
+                log_hook = hook
 
-            def hook(t, state):
-                log_hook(t, state)
-                ckpt_hook(t, state)
+                def hook(t, state):
+                    log_hook(t, state)
+                    ckpt_hook(t, state)
 
-            if not cfg.verbose:
-                cfg = cfg.replace(verbose=1)
-        run_pic(cfg, on_step=hook)
+                if not cfg.verbose:
+                    cfg = cfg.replace(verbose=1)
+            run_pic(cfg, on_step=hook)
     elif mode == "test":
         from .testing import run_unit_test
 

@@ -51,11 +51,20 @@ class SimConfig:
     # library-conservative choice.  All engines share the value, so any
     # choice is self-consistent and deterministic.
     rng_rounds: int = 13
-    # Fast-append window for the fused engine: per-sweep spawns up to this
+    # Fast-append window for the staged engine: per-sweep spawns up to this
     # count take the windowed gather+dynamic_update_slice path.
     # 0 = auto (max(1M, capacity/4)).
     append_window: int = 0
+    # Work-log engine: rows (of 128 lanes) per ping-pong work log.
+    # 0 = auto (half the capacity, at least one tile).
+    worklog_rows: int = 0
     lookup_mode: str = "band0"     # "band0" | "minmax" chunk sweep
+    # Physics model selections (models/integrator.py, models/collisions.py):
+    # integrator: "leapfrog" (reference parity) | "boris" (zero-B Boris push)
+    # collision_model: "reverse" (reference: parent velocity flips) |
+    #                  "isotropic" (child emitted isotropically at parent speed)
+    integrator: str = "leapfrog"
+    collision_model: str = "reverse"
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
     # (models/poisson_fft.py), the flagged fidelity upgrade.

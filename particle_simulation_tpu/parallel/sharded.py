@@ -109,21 +109,36 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
 
         # ---- mobility phase + compaction: fully shard-local ----
         n_start = state.n_clamped
-        state, pushes = mobility_phase(
+        state, info = mobility_phase(
             state, poisson_index, table, config,
             jnp.asarray(config.poisson_timestep, jnp.int32),
         )
-        overflow_local = state.n > state.capacity
-        added = state.n_clamped - n_start
-        state = population.compact(state)
-        removed_local = n_start + added - state.n
+        if getattr(mobility_phase, "self_compacting", False):
+            added = info["added"]
+            removed_local = n_start + added - state.n
+            overflow_local = info["overflow"]
+        else:
+            overflow_local = state.n > state.capacity
+            added = state.n_clamped - n_start
+            state = population.compact(state)
+            removed_local = n_start + added - state.n
+        lo, hi = info["pushes_lo"], info["pushes_hi"]
 
         metrics = {
             "n": jax.lax.psum(state.n, "dp"),
             "added": jax.lax.psum(added, "dp"),
             "removed": jax.lax.psum(removed_local, "dp"),
             "overflow": jax.lax.psum(overflow_local.astype(jnp.int32), "dp") > 0,
-            "pushes": jax.lax.psum(pushes, "dp"),
+            # legacy f32 total; the per-shard (lo, hi) pairs stay sharded
+            # vectors so the host can sum them exactly (i32 psum of lo
+            # could overflow across shards)
+            "pushes": jax.lax.psum(
+                lo.astype(jnp.float32)
+                + hi.astype(jnp.float32) * jnp.float32(1 << 30),
+                "dp",
+            ),
+            "pushes_lo": lo[None],
+            "pushes_hi": hi[None],
         }
         return state._replace(n=state.n[None]), metrics
 
@@ -140,7 +155,7 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
             SimState(pos=P("dp"), vel=P("dp"), acc=P("dp"), status=P("dp"),
                      id_hi=P("dp"), id_lo=P("dp"), n=P("dp")),
             {"n": P(), "added": P(), "removed": P(), "overflow": P(),
-             "pushes": P()},
+             "pushes": P(), "pushes_lo": P("dp"), "pushes_hi": P("dp")},
         ),
         check_vma=False,
     )
@@ -158,7 +173,10 @@ def run_pic_sharded(config: SimConfig, mesh: Mesh, table=None):
     history = []
     for t in range(config.poisson_steps):
         state, metrics = step(state, jnp.uint32(t), table)
+        lo = np.asarray(metrics.pop("pushes_lo"), dtype=np.int64)
+        hi = np.asarray(metrics.pop("pushes_hi"), dtype=np.int64)
         m = {k: int(v) for k, v in metrics.items()}
+        m["pushes"] = int((lo + (hi << 30)).sum())  # exact across shards
         history.append(m)
         if m["n"] == 0:
             break

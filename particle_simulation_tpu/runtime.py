@@ -152,7 +152,10 @@ def run_pic(
             removed=int(metrics["removed"]),
             wall_s=dt_wall,
             overflow=bool(metrics["overflow"]),
-            pushes=float(metrics["pushes"]),
+            # exact: base-2^30 i32 pair -> Python int -> f64 (< 2^53)
+            pushes=float(
+                int(metrics["pushes_lo"]) + (int(metrics["pushes_hi"]) << 30)
+            ),
         )
         steps.append(m)
         total_added += m.added
@@ -186,14 +189,19 @@ def run_pic(
 def sorted_particle_array(state: SimState) -> np.ndarray:
     """Final particles sorted by the reference's comparison key
     (timestamp, y, x, z, vy, vx, vz — src/electron.h:28-34) for
-    scheduler-equivalence comparisons."""
+    scheduler-equivalence comparisons.  Acceleration is carried as payload
+    so comparisons cover whole electrons, like the reference's operator==
+    (src/electron.h:36-42 via src/test.cu:66-71)."""
     n = int(state.n)
     pos = np.asarray(state.pos)[:n]
     vel = np.asarray(state.vel)[:n]
+    acc = np.asarray(state.acc)[:n]
     status = np.asarray(state.status)[:n]
     order = np.lexsort(
         (vel[:, 2], vel[:, 0], vel[:, 1], pos[:, 2], pos[:, 0], pos[:, 1], status)
     )
     return np.concatenate(
-        [status[order, None].astype(pos.dtype), pos[order], vel[order]], axis=1
+        [status[order, None].astype(pos.dtype), pos[order], vel[order],
+         acc[order].astype(pos.dtype)],
+        axis=1,
     )

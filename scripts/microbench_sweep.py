@@ -46,12 +46,12 @@ def main():
 
     def run(name, cfg):
         out = push_mcc._sweep_pass(fields, table, scalars, cfg, padded)
-        _ = float(out[2])
+        _ = float(out[2][0])
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out = push_mcc._sweep_pass(fields, table, scalars, cfg, padded)
-        pushes = float(out[2])
+        pushes = float(out[2][0]) + float(out[2][1]) * 2**30
         dt = (time.perf_counter() - t0) / reps
         print(f"{name:40s} {dt*1e3:9.1f} ms   pushes={pushes:.3e} "
               f"rate={pushes/dt:.3e}/s")

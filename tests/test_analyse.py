@@ -22,6 +22,37 @@ def test_load_and_plot(tmp_path):
     assert out.exists() and out.stat().st_size > 1000
 
 
+def test_cc_plot(tmp_path):
+    from particle_simulation_tpu.analyse.plot_cc import CC_HEADER, plot
+
+    csv = tmp_path / "pic_cc.csv"
+    rows = [CC_HEADER]
+    for sched in ("Naive", "Dynamic"):
+        for cc in (0.1, 1.0, 10.0):
+            rows.append(f"{sched},1000,2,20,256,100,{cc},1234,{cc * 7.5}")
+    csv.write_text("\n".join(rows) + "\n")
+    out = tmp_path / "cc.png"
+    plot(str(csv), str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_plot_all(tmp_path):
+    from particle_simulation_tpu.analyse.plot_all import load_all, plot
+
+    data = tmp_path / "out" / "data"
+    data.mkdir(parents=True)
+    for name in ("a.csv", "b.csv"):
+        rows = [CSV_HEADER]
+        for t in (10, 20):
+            rows.append(f"Dynamic,1000,2,{t},256,100,0,55,{t * 2.5}")
+        (data / name).write_text("\n".join(rows) + "\n")
+    df = load_all(data_dir=str(data))
+    assert set(df["source"]) == {"a.csv", "b.csv"}
+    out = tmp_path / "overview.png"
+    plot(df, str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+
 def test_gif_assembly(tmp_path):
     from PIL import Image
 

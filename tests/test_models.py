@@ -1,0 +1,101 @@
+"""Selectable physics models (models/integrator.py, models/collisions.py):
+the Boris push and the isotropic collision model must be distinct from the
+reference-parity defaults, energy/shape sane, and cadence-independent (all
+engines bit-equal for any model selection)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from particle_simulation_tpu import SimConfig, setup_particles
+from particle_simulation_tpu.ops.physics import Particles, boris, leapfrog
+from particle_simulation_tpu.ops.step import poisson_step
+from particle_simulation_tpu.runtime import sorted_particle_array
+
+
+def _particles(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda: jnp.asarray(rng.normal(size=n).astype(np.float32))
+    return Particles(
+        px=f(), py=f(), pz=f(), vx=f(), vy=f(), vz=f(),
+        ax=f(), ay=f(), az=f(),
+        status=jnp.full((n,), -1, jnp.int32),
+        id_hi=jnp.zeros((n,), jnp.uint32), id_lo=jnp.zeros((n,), jnp.uint32),
+    )
+
+
+def test_boris_differs_from_leapfrog_but_matches_velocity():
+    p = _particles()
+    dt = 1e-3
+    lf = leapfrog(p, dt)
+    bo = boris(p, dt)
+    # same end-of-step velocity (both apply the full kick) ...
+    np.testing.assert_allclose(np.asarray(bo.vx), np.asarray(lf.vx), rtol=1e-6)
+    # ... but the drifts differ by exactly the extra half-kick a*dt^2/2
+    # (boris drifts with the fully-kicked velocity)
+    drift_delta = np.asarray(lf.px, np.float64) - np.asarray(bo.px, np.float64)
+    expected = np.asarray(p.ax, np.float64) * dt * dt / 2
+    # the delta is ~a*dt^2/2 ~ 5e-7 against positions ~0.1, so f32
+    # quantization of each position (~1e-8) dominates the comparison noise
+    np.testing.assert_allclose(drift_delta, expected, rtol=0.05, atol=2e-7)
+    assert np.abs(expected).max() > 0
+
+
+def test_zero_acceleration_integrators_agree():
+    p = _particles()
+    p = p._replace(ax=jnp.zeros_like(p.ax), ay=jnp.zeros_like(p.ay),
+                   az=jnp.zeros_like(p.az))
+    lf = leapfrog(p, 1e-3)
+    bo = boris(p, 1e-3)
+    np.testing.assert_array_equal(np.asarray(lf.px), np.asarray(bo.px))
+    np.testing.assert_array_equal(np.asarray(lf.vx), np.asarray(bo.vx))
+
+
+def _run(cfg, table):
+    state = setup_particles(cfg)
+    for t in range(cfg.poisson_steps):
+        state, m = poisson_step(state, jnp.uint32(t), table, cfg)
+    return sorted_particle_array(state), int(m["n"])
+
+
+def test_boris_cadence_independent(const_table):
+    """The alternative integrator preserves the scheduler-equivalence
+    contract: all decisions/counts exact; float payloads compared with a
+    tight tolerance because XLA's FMA contraction of `v - a*dt` may differ
+    by ~1 ulp between differently-shaped compiled programs (the default
+    leapfrog happens to compile identically and stays bit-exact)."""
+    base = SimConfig(
+        init_n=150, capacity=4096, poisson_steps=2, poisson_timestep=5,
+        grid_size=(16, 16, 16), kernel_sublanes=8, integrator="boris",
+    )
+    arr_sync, n_sync = _run(base.replace(scheduler="sync"), const_table)
+    arr_dyn, n_dyn = _run(base.replace(scheduler="dynamic"), const_table)
+    assert n_sync == n_dyn
+    assert arr_sync.shape == arr_dyn.shape
+    np.testing.assert_allclose(arr_sync, arr_dyn, rtol=2e-6, atol=1e-30)
+
+
+def test_isotropic_cadence_independent(const_table):
+    """The isotropic model's DECISIONS (who splits/dies, genealogy, counts)
+    are exact across cadences; the child velocity involves sin/cos whose
+    fusion may differ per compiled program by ~1 ulp, so float payloads are
+    compared with a tight tolerance (documented in models/collisions.py)."""
+    base = SimConfig(
+        init_n=150, capacity=4096, poisson_steps=2, poisson_timestep=5,
+        grid_size=(16, 16, 16), kernel_sublanes=8,
+        collision_model="isotropic",
+    )
+    arr_sync, n_sync = _run(base.replace(scheduler="sync"), const_table)
+    arr_dyn, n_dyn = _run(base.replace(scheduler="dynamic"), const_table)
+    assert n_sync == n_dyn
+    assert arr_sync.shape == arr_dyn.shape
+    np.testing.assert_allclose(arr_sync, arr_dyn, rtol=2e-6, atol=1e-30)
+
+
+def test_isotropic_differs_from_reverse(const_table):
+    base = SimConfig(
+        init_n=150, capacity=4096, poisson_steps=2, poisson_timestep=5,
+        grid_size=(16, 16, 16), scheduler="sync",
+    )
+    a, _ = _run(base, const_table)
+    b, _ = _run(base.replace(collision_model="isotropic"), const_table)
+    assert a.shape != b.shape or not np.array_equal(a, b)

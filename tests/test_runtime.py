@@ -20,9 +20,10 @@ from particle_simulation_tpu.runtime import run_pic
 
 def test_cli_positional_contract():
     # ./run 30 VERBOSE INIT_N MAX_T BLOCK_SIZE MAX_N SLEEP POISSON_TS
-    mode, cfg = parse_args(
+    opts = parse_args(
         ["30", "2", "1000", "7", "128", "5000", "100", "9", "grid=16"]
     )
+    mode, cfg = opts.mode, opts.config
     assert mode == "30"
     assert cfg.scheduler == "dynamic"
     assert cfg.verbose == 2
@@ -34,6 +35,22 @@ def test_cli_positional_contract():
     assert cfg.poisson_timestep == 9
     assert cfg.grid_size == (16, 16, 16)
     assert set(SCHEDULER_MODES) == {"30", "31", "32", "33"}
+
+
+def test_cli_rejects_partial_positional_args():
+    # the reference requires all 8 args (src/main.cu:10-24); partial lists
+    # must not silently run with defaults (ADVICE r1)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_args(["32", "1", "1000000", "10"])
+
+
+def test_cli_mesh_override():
+    opts = parse_args(
+        ["30", "0", "1000", "7", "128", "5000", "100", "9", "mesh=4"]
+    )
+    assert opts.mesh == 4
 
 
 def test_run_pic_end_to_end(tmp_path):

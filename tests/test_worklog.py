@@ -1,0 +1,106 @@
+"""Work-log engine (ops/pallas/worklog.py) equivalence and invariants.
+
+The engine must be bit-exact vs the sync oracle (the reference's
+runUnitTest contract, src/test.cu:43-101) for any spawn depth / tile shape,
+including configs that force suspension -> relocation chains, and its
+self-compacted output must satisfy the all-live-prefix invariant.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_simulation_tpu import SimConfig, setup_particles
+from particle_simulation_tpu.constants import STATUS_ALIVE
+from particle_simulation_tpu.cross_section import bundled_paths, load_table
+from particle_simulation_tpu.ops.step import poisson_step
+from particle_simulation_tpu.runtime import sorted_particle_array
+
+
+def run_steps(cfg, table):
+    state = setup_particles(cfg)
+    metrics = []
+    for t in range(cfg.poisson_steps):
+        state, m = poisson_step(state, jnp.uint32(t), table, cfg)
+        metrics.append(
+            {
+                "n": int(m["n"]),
+                "added": int(m["added"]),
+                "removed": int(m["removed"]),
+                "overflow": bool(m["overflow"]),
+                "pushes": int(m["pushes_lo"]) + (int(m["pushes_hi"]) << 30),
+            }
+        )
+    return state, metrics
+
+
+BASE = SimConfig(
+    init_n=200,
+    capacity=4096,
+    poisson_steps=2,
+    poisson_timestep=6,
+    grid_size=(16, 16, 16),
+    kernel_sublanes=8,
+)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        BASE.replace(spawn_depth=2),
+        BASE.replace(spawn_depth=1),          # forces suspend -> relocate
+        BASE.replace(kernel_sublanes=16, poisson_timestep=9),
+        BASE.replace(init_n=97, capacity=2048, worklog_rows=16),
+    ],
+    ids=["d2", "d1-suspend", "s16-t9", "odd-small-log"],
+)
+def test_worklog_matches_sync_oracle(cfg, const_table):
+    oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
+    wl_state, wl_m = run_steps(cfg.replace(scheduler="dynamic"), const_table)
+    assert wl_m == oracle_m
+    np.testing.assert_array_equal(
+        sorted_particle_array(wl_state), sorted_particle_array(oracle_state)
+    )
+
+
+def test_worklog_sine_table_growth(sine_table):
+    # the default table needs velocity spread before collisions kick in;
+    # run longer so the growth regime is exercised
+    cfg = BASE.replace(poisson_steps=3, poisson_timestep=8, init_n=500)
+    oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), sine_table)
+    wl_state, wl_m = run_steps(cfg.replace(scheduler="dynamic"), sine_table)
+    assert wl_m == oracle_m
+    np.testing.assert_array_equal(
+        sorted_particle_array(wl_state), sorted_particle_array(oracle_state)
+    )
+
+
+def test_worklog_output_is_compacted(const_table):
+    """Self-compacting contract: all lanes in [0, n) live and ALIVE, all
+    lanes beyond EMPTY (no holes — n is the exact live count)."""
+    cfg = BASE.replace(scheduler="dynamic")
+    state, metrics = run_steps(cfg, const_table)
+    n = int(state.n)
+    status = np.asarray(state.status)
+    assert n == metrics[-1]["n"]
+    assert (status[:n] == STATUS_ALIVE).all()
+    assert (status[n:] == 0).all()
+
+
+def test_worklog_overflow_flag(const_table):
+    """Growth beyond capacity must flag overflow (children still counted:
+    reference drop-but-count semantics, src/pic.cu:127-131,543-545)."""
+    cfg = BASE.replace(
+        scheduler="dynamic", init_n=220, capacity=256, poisson_steps=1,
+        poisson_timestep=6,
+    )
+    state, metrics = run_steps(cfg, const_table)
+    assert metrics[-1]["overflow"]
+    assert int(state.n) <= cfg.capacity
+
+
+def test_worklog_rejects_oversized_timestep(const_table):
+    cfg = BASE.replace(scheduler="dynamic", poisson_timestep=40000)
+    state = setup_particles(cfg)
+    with pytest.raises(ValueError, match="stamp domain"):
+        poisson_step(state, jnp.uint32(0), const_table, cfg)
