@@ -23,7 +23,7 @@ from typing import List, Optional
 
 from .config import SimConfig
 from .observability import CSV_HEADER
-from .runtime import RunData, run_pic
+from .runtime import RunData, run_pic, run_pic_device
 
 
 def sweep_configs(profile: str = "full") -> List[SimConfig]:
@@ -91,13 +91,11 @@ def run_benchmark(
         # warm: compile + enter the churn regime once per scheduler (T is a
         # traced scalar, so the compilation is shared across all T points)
         if cfg.scheduler not in warmed:
-            run_pic(
-                cfg.replace(poisson_steps=1), print_header=False,
-                auto_bucket=True,
-            )
+            # full warm run: compiles every chunk size the real runs use
+            run_pic_device(cfg)
             warmed.add(cfg.scheduler)
         t0 = time.perf_counter()
-        run = run_pic(cfg, print_header=False, auto_bucket=True)
+        run = run_pic_device(cfg)
         wall = time.perf_counter() - t0
         if run.final_n >= cfg.capacity:
             print("Illegal configuration, capacity reached — skipping record")

@@ -103,6 +103,23 @@ def field_acceleration(charge, pos, weight, config: SimConfig):
     )
 
 
+def _step_config(config: SimConfig) -> SimConfig:
+    """Canonicalize the config used as the jitted step's STATIC key: zero
+    out every field the step function never reads (run shape, CLI echoes),
+    so warm-up runs and sweeps share one compilation.  The whole frozen
+    dataclass is the static key — any stray field change would silently
+    retrace (the jit default-arg footgun, CLAUDE.md)."""
+    return config.replace(
+        init_n=0,
+        poisson_steps=0,
+        poisson_timestep=0,   # traced separately as t_steps
+        verbose=0,
+        block_size=0,
+        sleep_time_ns=0,
+        cross_section_path="",
+    )
+
+
 def _check_stamp_domain(config: SimConfig) -> None:
     """The fused engines pack (resume step, spawn stamp) into 15 bits each;
     larger mobility-step counts would alias the encoding and corrupt physics
@@ -136,11 +153,10 @@ def poisson_step(
         poisson_index,
         table,
         jnp.asarray(config.poisson_timestep, jnp.int32),
-        config.replace(poisson_timestep=0),
+        _step_config(config),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_steps"))
 def poisson_loop(
     state: SimState, table, config: SimConfig, num_steps: int,
     first_index: int = 0,
@@ -153,11 +169,27 @@ def poisson_loop(
     host round-trips.  A zero population short-circuits each remaining step
     through a no-op branch (the reference breaks out of the loop,
     src/pic.cu:556-559).
+
+    ``poisson_timestep`` and ``first_index`` are traced and the config is
+    canonicalized BEFORE the jit boundary, so one compilation per
+    (engine, capacity-bucket, num_steps) serves every T of a sweep.
     """
     _check_stamp_domain(config)
-    t_steps = jnp.asarray(config.poisson_timestep, jnp.int32)
-    cfg = config.replace(poisson_timestep=0)
+    return _poisson_loop_jit(
+        state,
+        table,
+        jnp.asarray(config.poisson_timestep, jnp.int32),
+        jnp.asarray(first_index, jnp.int32),
+        _step_config(config),
+        num_steps,
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def _poisson_loop_jit(
+    state: SimState, table, t_steps, first_index, cfg: SimConfig,
+    num_steps: int,
+):
     def body(st, idx):
         def live_step(s):
             return _poisson_step_t(s, idx.astype(jnp.uint32), table, t_steps, cfg)

@@ -186,6 +186,74 @@ def run_pic(
     )
 
 
+def run_pic_device(
+    config: SimConfig,
+    table: Optional[jnp.ndarray] = None,
+    chunk_steps: int = 2,
+) -> RunData:
+    """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
+    device-resident chunks (ops/step.poisson_loop) so the per-step host
+    round-trip (one remote-tunnel dispatch + readback, ~0.2 s here) is paid
+    once per ``chunk_steps`` instead of per step.
+
+    Capacity bucketing happens between chunks: each chunk executes on the
+    smallest power-of-2 working prefix holding the population with headroom,
+    and a chunk whose growth overflows its bucket is redone at the next
+    bucket — physics is a pure function of genealogy, so the retry is
+    bit-exact (same trick as _bucketed_step)."""
+    from .ops.step import poisson_loop
+
+    if table is None:
+        table = cross_section.load_table(config.cross_section_path)
+    state = setup_particles(config)
+    steps: List[StepMetrics] = []
+    wall_total = 0.0
+    done = 0
+    while done < config.poisson_steps:
+        k = min(chunk_steps, config.poisson_steps - done)
+        w = _bucket_size(int(state.n), config.capacity)
+        while True:
+            part = _slice_state(state, w) if w < config.capacity else state
+            cfg_w = config.replace(capacity=w)
+            t0 = time.perf_counter()
+            final, metrics = poisson_loop(part, table, cfg_w, k, first_index=done)
+            final_n = int(final.n)  # forces execution (tunnel-safe readback)
+            wall = time.perf_counter() - t0
+            if w < config.capacity and bool(jnp.any(metrics["overflow"])):
+                w = _bucket_size(w + 1, config.capacity)
+                continue
+            break
+        wall_total += wall
+        lo = [int(x) for x in metrics["pushes_lo"]]
+        hi = [int(x) for x in metrics["pushes_hi"]]
+        ns = [int(x) for x in metrics["n"]]
+        steps += [
+            StepMetrics(
+                step=done + i,
+                n=ns[i],
+                added=int(metrics["added"][i]),
+                removed=int(metrics["removed"][i]),
+                wall_s=wall / k,
+                overflow=bool(metrics["overflow"][i]),
+                pushes=float(lo[i] + (hi[i] << 30)),
+            )
+            for i in range(len(ns))
+        ]
+        state = _merge_state(state, final, w) if w < config.capacity else final
+        done += k
+        if final_n == 0:
+            break
+    return RunData(
+        config=config,
+        final_n=int(state.n),
+        total_added=sum(s.added for s in steps),
+        total_removed=sum(s.removed for s in steps),
+        device_time_ms=wall_total * 1e3,
+        state=state,
+        steps=steps,
+    )
+
+
 def sorted_particle_array(state: SimState) -> np.ndarray:
     """Final particles sorted by the reference's comparison key
     (timestamp, y, x, z, vy, vx, vz — src/electron.h:28-34) for
