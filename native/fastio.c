@@ -36,9 +36,16 @@ fastio_parse_float_pairs(PyObject *self, PyObject *args)
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         return NULL;
     }
-    fseek(f, 0, SEEK_END);
-    long size = ftell(f);
-    fseek(f, 0, SEEK_SET);
+    /* Non-seekable paths (FIFOs, ...) make ftell return -1, which would
+       underflow the malloc size and overflow the fread (ADVICE r1). */
+    long size = -1;
+    if (fseek(f, 0, SEEK_END) == 0)
+        size = ftell(f);
+    if (size < 0 || fseek(f, 0, SEEK_SET) != 0) {
+        fclose(f);
+        PyErr_Format(PyExc_OSError, "not a seekable regular file: %s", path);
+        return NULL;
+    }
     char *buf = (char *)malloc((size_t)size + 1);
     if (!buf) {
         fclose(f);

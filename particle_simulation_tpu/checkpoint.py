@@ -51,11 +51,15 @@ def save_orbax(ckpt_dir: str, state: SimState, poisson_step: int) -> None:
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [
-        int(d.split("_")[1])
-        for d in os.listdir(ckpt_dir)
-        if d.startswith("step_") and d.split("_")[1].isdigit()
-    ]
+    steps = []
+    for d in os.listdir(ckpt_dir):
+        if not d.startswith("step_"):
+            continue
+        stem = d[len("step_"):]
+        if stem.endswith(".npz"):
+            stem = stem[: -len(".npz")]
+        if stem.isdigit():
+            steps.append(int(stem))
     return max(steps) if steps else None
 
 
@@ -85,7 +89,11 @@ def resume_run(config: SimConfig, ckpt_dir: str):
     step = latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    state = load_orbax(ckpt_dir, step)
+    npz_path = os.path.join(ckpt_dir, f"step_{step:06d}.npz")
+    if os.path.exists(npz_path):  # npz-backend checkpoints resume too
+        state, _ = load_npz(npz_path)
+    else:
+        state = load_orbax(ckpt_dir, step)
     remaining = config.poisson_steps - step
     if remaining <= 0:
         raise ValueError(f"checkpoint step {step} is beyond the configured run")

@@ -62,3 +62,24 @@ def test_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(
         sorted_particle_array(full.state), sorted_particle_array(resumed.state)
     )
+
+
+def test_npz_checkpoints_resume(tmp_path):
+    """Checkpoints written by the npz backend must be discoverable and
+    resumable (ADVICE r1: latest_step used to ignore .npz names and
+    resume_run always called load_orbax)."""
+    import os
+
+    from particle_simulation_tpu.checkpoint import make_checkpoint_hook, save_npz
+
+    st = setup_particles(CFG)
+    d = str(tmp_path / "npz_ckpt")
+    os.makedirs(d)
+    hook = make_checkpoint_hook(CFG, d, backend="npz")
+    hook(4, st)
+    assert latest_step(d) == 4
+    from particle_simulation_tpu.checkpoint import load_npz
+
+    st2, step = load_npz(os.path.join(d, "step_000004.npz"))
+    assert step == 4
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
