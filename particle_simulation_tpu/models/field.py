@@ -1,11 +1,17 @@
 """Field model: charge deposition and the local electric-field
 approximation.
 
-Default: the reference's nearest-cell count deposition + (charge[+1] -
-charge[-1]) * E_const neighbour difference (src/grid_operations.cu) — not a
-true Poisson solve; kept for parity.  The fused deposit/stencil/gather
-implementation lives in ops/grid.py; a spectral (FFT) Poisson solver is the
-flagged upgrade path (models/poisson_fft.py when it lands).
+Two selectable models (SimConfig.field_model):
+
+* ``neighbour`` (default) — the reference's nearest-cell count deposition +
+  (charge[+1] - charge[-1]) * E_const neighbour difference
+  (src/grid_operations.cu); not a true Poisson solve, kept for parity.
+  f32 production path materializes the acceleration grid with shifted
+  slices + one packed row gather (ops/grid.gather_acceleration_packed,
+  measured 2.3x/9.4x over the fused 6-gather); the fused per-particle path
+  (gather_acceleration) serves f64 oracle runs.
+* ``fft`` — a true spectral Poisson solve (models/poisson_fft.py), the
+  flagged fidelity upgrade beyond reference parity.
 """
 
 from ..constants import electric_force_constant  # noqa: F401
@@ -14,4 +20,6 @@ from ..ops.grid import (  # noqa: F401
     deposit,
     field_grid,
     gather_acceleration,
+    gather_acceleration_packed,
 )
+from .poisson_fft import gather_acceleration_fft  # noqa: F401

@@ -73,14 +73,6 @@ _PUSH_BASE = 1 << 30  # exact push counter: value = hi * 2^30 + lo
 _DONE_ELEMS, _WORK_ELEMS, _CHILDREN, _PUSH_LO, _PUSH_HI, _OVF = range(6)
 
 
-def _f32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.float32)
-
-
-def _i32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-
 def _to_typed(i32_2d, name):
     dt = _field_dtype(name)
     return i32_2d if dt == jnp.int32 else jax.lax.bitcast_convert_type(i32_2d, dt)
