@@ -36,8 +36,11 @@ class SimConfig:
 
     # ---- numerics / engine knobs (new-framework-only) ----
     # Max children one particle may spawn within a single Poisson step when
-    # running the fused Pallas engine (per-lane child buffer depth).
-    spawn_depth: int = 4
+    # running the fused Pallas engine (per-lane child buffer depth).  Child
+    # staging costs NF*spawn_depth vector selects per mobility step; A/B on
+    # the chip (2026-08-16, bench point): D=4 158.5, D=2 152.7, D=1 175.1
+    # ms/step (D=1 pays extra suspend/resume passes).
+    spawn_depth: int = 2
     # dtype for positions/velocities: "f32" (TPU) or "f64" (CPU oracle runs).
     precision: str = "f32"
     # Fused-kernel tuning knobs (A/B measured; see push_mcc.py).

@@ -6,10 +6,12 @@ Two selectable models (SimConfig.field_model):
 * ``neighbour`` (default) — the reference's nearest-cell count deposition +
   (charge[+1] - charge[-1]) * E_const neighbour difference
   (src/grid_operations.cu); not a true Poisson solve, kept for parity.
-  f32 production path materializes the acceleration grid with shifted
-  slices + one packed row gather (ops/grid.gather_acceleration_packed,
-  measured 2.3x/9.4x over the fused 6-gather); the fused per-particle path
-  (gather_acceleration) serves f64 oracle runs.
+  f32 production path packs the three integer stencil diffs into one i32
+  grid and gathers once per particle
+  (ops/grid.gather_acceleration_packdiff, bit-identical and fastest
+  measured); gather_acceleration_packed keeps the (cells, 3) row-gather
+  variant, and the fused per-particle path (gather_acceleration) serves
+  f64 oracle runs.
 * ``fft`` — a true spectral Poisson solve (models/poisson_fft.py), the
   flagged fidelity upgrade beyond reference parity.
 """
@@ -21,5 +23,6 @@ from ..ops.grid import (  # noqa: F401
     field_grid,
     gather_acceleration,
     gather_acceleration_packed,
+    gather_acceleration_packdiff,
 )
 from .poisson_fft import gather_acceleration_fft  # noqa: F401

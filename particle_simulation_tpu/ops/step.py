@@ -95,9 +95,10 @@ def field_acceleration(charge, pos, weight, config: SimConfig):
             charge, pos, weight, config.cell_size, config.grid_size,
             config.electric_force_constant,
         )
-    # f32 production path: materialized acc grid + one packed row gather
-    # (2.3x faster at 1M/256^3, 9.4x at 5e7/512^3 — measured, bit-identical)
-    return grid_ops.gather_acceleration_packed(
+    # f32 production path: packed-diff i32 grid + ONE scalar gather
+    # (15.9 ms vs 18.7 row-gather vs 51 fused at 1M/256^3 — measured,
+    # bit-identical; grid.py gather_acceleration_packdiff)
+    return grid_ops.gather_acceleration_packdiff(
         charge, pos, weight, config.cell_size, config.grid_size,
         config.electric_force_constant,
     )

@@ -54,13 +54,27 @@ class RunData:
         }[self.config.scheduler]
 
 
+# Working-capacity ladder: bucket sizes are m * 2^k for m in LADDER.  A
+# quarter-step ladder keeps the working prefix within ~1.25-1.6x of the live
+# population (vs 2-4x for pure powers of 2) — the grid phase (deposit +
+# field gather) and compaction scale with the working prefix, so this is a
+# direct step-time win (measured ~25% at the bench point).  Each distinct
+# bucket is one extra compilation (shared across T by the traced-scalar
+# protocol and server-cached across runs).
+LADDER = (1.0, 1.25, 1.5, 1.75)
+HEADROOM = 1.25
+
+
 def _bucket_size(n: int, capacity: int, floor: int = 1 << 16) -> int:
-    """Power-of-2 working capacity with >= 2x headroom over the population
-    (clamped to the true capacity)."""
-    w = floor
-    while w < 2 * n and w < capacity:
-        w <<= 1
-    return min(w, capacity)
+    """Smallest ladder bucket >= HEADROOM * n (clamped to capacity)."""
+    need = max(int(n * HEADROOM), floor)
+    k = max(need.bit_length() - 1, 0)
+    for kk in (k, k + 1):
+        for m in LADDER:
+            w = int(m * (1 << kk))
+            if w >= need:
+                return min(w, capacity)
+    return capacity
 
 
 def _slice_state(state: SimState, w: int) -> SimState:

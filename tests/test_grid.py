@@ -89,3 +89,33 @@ def test_field_direction_sign():
     assert field[4, 3, 4, 1] == 3.0
     assert field[4, 4, 5, 2] == -3.0
     assert field[4, 4, 4, 0] == 0.0
+
+
+def test_packdiff_bit_exact_and_fallback():
+    """gather_acceleration_packdiff must equal the row-gather path BIT-FOR-BIT
+    on both its branches: packed (small diffs) and the lax.cond fallback
+    (some |diff| >= 512)."""
+    rng = np.random.default_rng(2)
+    n = 400
+    e = electric_force_constant(CELL)
+    pos = rng.uniform(0, GRID[0] * CELL * 0.999, (n, 3)).astype(np.float32)
+    weight = (rng.uniform(size=n) < 0.9).astype(np.int32)
+    charge = g.deposit(jnp.asarray(pos), jnp.asarray(weight), CELL, GRID)
+
+    ref = g.gather_acceleration_packed(
+        charge, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
+    new = g.gather_acceleration_packdiff(
+        charge, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
+    np.testing.assert_array_equal(np.asarray(new), np.asarray(ref))
+
+    # force the fallback: one cell holds 1000 charge -> |diff| = 1000 > 511
+    big = charge.at[g.flatten_cells(4, 4, 4, GRID)].add(1000)
+    ref2 = g.gather_acceleration_packed(
+        big, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
+    new2 = g.gather_acceleration_packdiff(
+        big, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
+    np.testing.assert_array_equal(np.asarray(new2), np.asarray(ref2))
+    # and that the fused per-particle path agrees too (spec anchor)
+    fused2 = g.gather_acceleration(
+        big, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
+    np.testing.assert_array_equal(np.asarray(fused2), np.asarray(new2))
