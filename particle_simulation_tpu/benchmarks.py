@@ -41,7 +41,11 @@ def sweep_configs(profile: str = "full") -> List[SimConfig]:
         mobility = list(range(10, 100, 10)) + list(range(100, 1001, 100))
         init_n, capacity, poisson_steps = 1_000_000, 50_000_000, 10
         grid = (512, 512, 512)
-        schedulers = ["dynamic", "sync", "naive", "dynamic_old"]
+        # fastest engines first so a time-budget truncation still leaves the
+        # headline comparison (Dynamic flat vs Naive linear) complete; the
+        # sync oracle's generation fixed point re-simulates ranges and is by
+        # far the slowest at large T
+        schedulers = ["dynamic", "naive", "dynamic_old", "sync"]
 
     configs = []
     for sched in schedulers:          # scheduler-major: warm compile reused
