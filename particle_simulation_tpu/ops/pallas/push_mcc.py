@@ -111,18 +111,68 @@ def _field_dtype(name):
     return jnp.float32
 
 
-def make_chunked_lookup(n_chunks, mode="band0"):
-    """energy -> (split, remove) via chunk-swept lane-LUT.
+def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
+    """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
     idx decomposes into (chunk, offset); each chunk lookup is one
     ``tpu.dynamic_gather`` (take_along_axis on the lane axis) over the
     chunk's values broadcast to the tile shape.  Only chunks in the band
-    the tile's energies occupy are visited.
+    the tile's energies actually occupy are visited.
+
+    Modes:
+      * ``minmax``   — sweep [min(hi), max(hi)];
+      * ``band0``    — chunk 0 (the E=0 attractor) handled unconditionally,
+                       sweep only the band of nonzero chunks;
+      * ``needband`` — band0, plus the nonzero band is restricted to lanes
+                       that can actually collide: ``aux_ref`` holds the
+                       per-chunk max of (split + remove), gathered per-lane
+                       with one extra take_along_axis; a lane with
+                       ``u >= bound[hi]`` gets (0, 0), which is exact
+                       (physics.update_particles compares u < split and
+                       u < split+remove only).  Measured: collisions are
+                       rare (3.9% at the bench point) but needy lanes still
+                       span the whole band, so the win is small;
+      * ``threshold`` — the fast path.  Both physics comparisons are integer
+                       compares of the draw's own top bits against
+                       per-bucket thresholds: ``u < c`` iff ``P < T(c)``
+                       where P = bits >> 8 is the 24-bit payload that
+                       produced u (rng.uniform_from_bits) and T(c) counts
+                       the payloads mapping below c — so 16-bit truncations
+                       of T decide every lane whose P8 = bits >> 16 differs
+                       from T >> 8.  ``aux_ref`` packs both truncated
+                       thresholds in ONE i32 table (split high, split+remove
+                       low): the band sweep does a single i32 gather per
+                       chunk instead of two f32 gathers, and the rare
+                       undecided lanes (P8 == T >> 8, ~2^-15 per lane-step)
+                       fall back to an exact f32 sweep over just their
+                       chunks.  Bit-exact by construction;
+      * ``pipeband``  — the engine's hot path: identical values to band0,
+                       but the nonzero-chunk band bounds are SUPPLIED by the
+                       caller via ``band=(hmin, hmax)`` (carried scalars
+                       computed from the previous mobility step's
+                       end-of-step velocities run through the exact
+                       integrator) instead of reduced from this step's
+                       energies.  Measured: the per-step vector->scalar
+                       reductions + dynamic loop-bound setup stalls cost
+                       ~4.7 us per tile-step — 3x the band sweep itself.
+                       Exactness: the band must cover every ACTIVE lane's
+                       nonzero chunk (inactive lanes' lookups are gated off
+                       in physics.update_particles), which the caller
+                       guarantees by bounding over ALL lanes;
+      * ``statichybrid`` — chunks [0, static_chunks] swept with a STATIC
+                       unroll (measured: a dynamic-trip fori_loop visit
+                       costs ~2x a static one — the loop-carried (S, L)
+                       accumulators round-trip VMEM every iteration), plus
+                       a dynamic tail loop for the rare lanes beyond
+                       (zero-trip when none).  Exact for any energies;
+      * ``staticthresh`` — statichybrid over the packed threshold table
+                       (one i32 gather per visit, integer decide, exact
+                       rare-lane fallback as in ``threshold``).
     """
     from ...cross_section import energy_to_index
 
-    def lookup(split_ref, remove_ref, energy):
+    def lookup(split_ref, remove_ref, aux_ref, energy, u, bits, band=None):
         shape = energy.shape
         idx = energy_to_index(energy)
         hi = idx // LANES
@@ -148,18 +198,154 @@ def make_chunked_lookup(n_chunks, mode="band0"):
                 jnp.min(hi), jnp.max(hi) + 1, body, (zeros, zeros)
             )
 
-        # band0: chunk 0 (the lowest-energy band) is a persistent attractor
-        # — particles in zero-field cells sit at E=0 forever — handle it
+        K = min(static_chunks, n_chunks - 1)
+
+        if mode == "statichybrid":
+            sp = jnp.zeros(shape, jnp.float32)
+            rm = jnp.zeros(shape, jnp.float32)
+            for c in range(K + 1):          # static unroll incl. chunk 0
+                sel = hi == c
+                spc, rmc = chunk_vals(c)
+                sp = jnp.where(sel, spc, sp)
+                rm = jnp.where(sel, rmc, rm)
+            over = hi > K
+            hmax_o = jnp.max(jnp.where(over, hi, 1))
+            return jax.lax.fori_loop(K + 1, hmax_o + 1, body, (sp, rm))
+
+        if mode in ("threshold", "staticthresh"):
+            # ---- coarse pass: ONE i32 gather per chunk (band0 structure) ----
+            def th_chunk(c):
+                row = jnp.broadcast_to(aux_ref[c, :][None, :], shape)
+                return jnp.take_along_axis(row, lo, axis=1)
+
+            def th_body(c, acc):
+                return jnp.where(hi == c, th_chunk(c), acc)
+
+            if mode == "staticthresh":
+                th = jnp.zeros(shape, jnp.int32)
+                for c in range(K + 1):      # static unroll incl. chunk 0
+                    th = jnp.where(hi == c, th_chunk(c), th)
+                hmax_o = jnp.max(jnp.where(hi > K, hi, 1))
+                th = jax.lax.fori_loop(K + 1, hmax_o + 1, th_body, th)
+            else:
+                sel0 = hi == 0
+                th = jnp.where(sel0, th_chunk(0), 0)
+                hmin_nz = jnp.min(jnp.where(sel0, n_chunks - 1, hi))
+                hmax_nz = jnp.max(jnp.where(sel0, 1, hi))
+                th = jax.lax.fori_loop(hmin_nz, hmax_nz + 1, th_body, th)
+
+            p8 = jax.lax.bitcast_convert_type(
+                jnp.asarray(bits, jnp.uint32) >> jnp.uint32(16), jnp.int32
+            )
+            ts8 = (th >> 16) & 0xFFFF
+            tt8 = th & 0xFFFF
+            s_hit = p8 < ts8
+            t_hit = p8 < tt8
+            und = (p8 == ts8) | (p8 == tt8)
+
+            # ---- exact fallback: f32 sweep over the undecided lanes only ----
+            zeros = jnp.zeros(shape, jnp.float32)
+            hmin_u = jnp.min(jnp.where(und, hi, n_chunks - 1))
+            hmax_u = jnp.max(jnp.where(und, hi, 0))
+            sp_e, rm_e = jax.lax.fori_loop(
+                hmin_u, hmax_u + 1, body, (zeros, zeros)
+            )
+            # certain lanes: effective chances force the exact outcome
+            # (u is in [0, 100), so 101 always compares true, 0 false;
+            # s_hit implies t_hit because split <= split + remove)
+            big = jnp.float32(101.0)
+            sp = jnp.where(und, sp_e, jnp.where(s_hit, big, 0.0))
+            rm = jnp.where(
+                und, rm_e, jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
+            )
+            return sp, rm
+
+        # chunk 0 (the lowest-energy band) is a persistent attractor —
+        # particles in zero-field cells sit at E=0 forever — handle it
         # unconditionally and sweep only the band of *nonzero* chunks.
         sel0 = hi == 0
         sp0, rm0 = chunk_vals(0)
         sp = jnp.where(sel0, sp0, 0.0)
         rm = jnp.where(sel0, rm0, 0.0)
-        hmin_nz = jnp.min(jnp.where(sel0, n_chunks - 1, hi))
-        hmax_nz = jnp.max(jnp.where(sel0, 1, hi))
+        if mode == "pipeband":
+            return jax.lax.fori_loop(band[0], band[1] + 1, body, (sp, rm))
+        if mode == "needband":
+            bound = jnp.take_along_axis(
+                jnp.broadcast_to(aux_ref[0, :][None, :], shape), hi, axis=1
+            )
+            mask_nz = (u < bound) & jnp.logical_not(sel0)
+        else:
+            mask_nz = jnp.logical_not(sel0)
+        hmin_nz = jnp.min(jnp.where(mask_nz, hi, n_chunks - 1))
+        hmax_nz = jnp.max(jnp.where(mask_nz, hi, 1))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
     return lookup
+
+
+def _exact_threshold(c):
+    """T(c) = #{P in [0, 2^24) : uniform_from_bits-value(P) < c} — the exact
+    integer threshold with ``u < c  iff  P < T(c)`` for the kernel's draw
+    u = f32(f32(P) * 2^-24) * 100 (rng.uniform_from_bits with lo=0, hi=100).
+
+    Computed with pure jnp ops (the table is traced under jit): a first-order
+    f32 estimate lands within +-4 of the boundary (|q*2^24 - c*2^24/100| <=
+    c/100 + 1 <= 2 for c <= 100, and the final *100 rounding moves the
+    boundary by at most 2 more indices), so counting u(P) < c over a +-6
+    window around it is exact.
+    """
+    c = c.astype(jnp.float32)
+    q = c / jnp.float32(100.0)
+    t0 = jnp.floor(q * jnp.float32(1 << 24)).astype(jnp.int32)
+    base = jnp.clip(t0 - 6, 0, 1 << 24)
+    count = jnp.zeros_like(base)
+    for d in range(13):
+        p = base + d
+        valid = p < (1 << 24)
+        u = (
+            jnp.clip(p, 0, (1 << 24) - 1).astype(jnp.float32)
+            * jnp.float32(2.0**-24)
+        ) * jnp.float32(100.0)
+        count = count + (valid & (u < c)).astype(jnp.int32)
+    return base + count
+
+
+def pack_threshold_table(table):
+    """(n, 2) chance table -> (n_chunks, 128) i32 of packed 16-bit coarse
+    thresholds: bits[31:16] = min(T(split) >> 8, 0xFFFF), bits[15:0] =
+    min(T(split + remove) >> 8, 0xFFFF).  A lane whose draw payload top-16
+    differs from a stored value is decided exactly by the i32 compare; equal
+    lanes (~2^-15 per lane-step) take the exact f32 fallback."""
+    split = table[:, 0].astype(jnp.float32)
+    tot = split + table[:, 1].astype(jnp.float32)
+    ts8 = jnp.minimum(_exact_threshold(split) >> 8, 0xFFFF)
+    tt8 = jnp.minimum(_exact_threshold(tot) >> 8, 0xFFFF)
+    packed = jax.lax.bitcast_convert_type(
+        (ts8.astype(jnp.uint32) << jnp.uint32(16)) | tt8.astype(jnp.uint32),
+        jnp.int32,
+    )
+    n = packed.shape[0]
+    # rows padded to a multiple of 8 so the grouped lookup can slice whole
+    # (8, 128) vreg groups; pad rows are all-zero (p8 > 0 -> certain miss,
+    # p8 == 0 -> exact fallback) and unreachable anyway (idx <= n - 1)
+    n_chunks = pl.cdiv(pl.cdiv(n, LANES), 8) * 8
+    pad = n_chunks * LANES - n
+    return jnp.pad(packed, (0, pad)).reshape(n_chunks, LANES)
+
+
+def chunk_bound(table):
+    """Per-chunk max of (split + remove) as ONE 128-lane row (chunk c at
+    lane c), f32-summed exactly as update_particles compares, so
+    ``u >= bound[hi]`` proves no collision for the lane.  Requires
+    n_chunks <= 128 (10000-bucket table -> 79)."""
+    tot = (table[:, 0] + table[:, 1]).astype(jnp.float32)
+    n = tot.shape[0]
+    n_chunks = pl.cdiv(n, LANES)
+    if n_chunks > LANES:
+        raise ValueError(f"table too large for needband lookup: {n} buckets")
+    pad = n_chunks * LANES - n
+    per_chunk = jnp.max(jnp.pad(tot, (0, pad)).reshape(n_chunks, LANES), axis=1)
+    return jnp.pad(per_chunk, (0, LANES - n_chunks)).reshape(1, LANES)
 
 
 def _mobility_kernel(
@@ -203,7 +389,16 @@ def _mobility_kernel(
     def _process():
         p_step = scal_ref[0].astype(jnp.uint32)
         t_steps = scal_ref[1]
-        lookup = make_chunked_lookup(n_chunks, config.lookup_mode)
+        # this engine has no aux-table input; aux modes degrade to band0
+        mode = (
+            "band0"
+            if config.lookup_mode
+            in ("needband", "threshold", "pipeband", "staticthresh")
+            else config.lookup_mode
+        )
+        lookup = make_chunked_lookup(
+            n_chunks, mode, config.lookup_static_chunks
+        )
 
         depth_iota = jax.lax.broadcasted_iota(
             jnp.int32, (config.spawn_depth, SUBLANES, LANES), 0
@@ -248,7 +443,7 @@ def _mobility_kernel(
                 rng_rounds=config.rng_rounds,
                 integrator=config.integrator,
                 collision_model=config.collision_model,
-                table_lookup=functools.partial(lookup, split_ref, remove_ref),
+                table_lookup=functools.partial(lookup, split_ref, remove_ref, None),
             )
             # active lanes always have depth < spawn_depth (suspension
             # pre-empts), so no child is ever dropped.

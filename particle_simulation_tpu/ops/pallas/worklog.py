@@ -49,8 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import SimConfig
 from ...constants import STATUS_ALIVE
+from ...cross_section import energy_to_index
 from ...state import SimState
-from ..physics import Particles, update_particles
+from ..physics import INTEGRATORS, Particles, collision_energy, update_particles
 from .. import population
 from .push_mcc import (
     FIELD_NAMES,
@@ -63,7 +64,9 @@ from .push_mcc import (
     _suspended_resume,
     _suspended_stamp,
     _tile_dims,
+    chunk_bound,
     make_chunked_lookup,
+    pack_threshold_table,
 )
 
 NF = len(FIELD_NAMES)
@@ -268,6 +271,9 @@ def _worklog_kernel(
     src_ref,        # (NF, S, L) i32 blocked in
     split_ref,
     remove_ref,
+    aux_ref,        # lookup-mode aux table: (n_chunks, L) i32 packed
+                    # thresholds (threshold) or (1, L) f32 chunk bound
+                    # (needband); dummy (1, L) otherwise
     done_in,        # ANY (unused; aliased to done_out)
     work_in,        # ANY (unused; aliased to work_out)
     src_out,        # (NF, S, L) i32 blocked out (aliased to src)
@@ -331,7 +337,9 @@ def _worklog_kernel(
     def _process():
         p_step = scal_ref[0].astype(jnp.uint32)
         t_steps = scal_ref[1]
-        lookup = make_chunked_lookup(n_chunks, config.lookup_mode)
+        lookup = make_chunked_lookup(
+            n_chunks, config.lookup_mode, config.lookup_static_chunks
+        )
 
         suspended0 = _is_suspended(status0)
         stamp0 = jnp.where(suspended0, _suspended_stamp(status0), status0)
@@ -353,16 +361,53 @@ def _worklog_kernel(
             for d in range(D):
                 stage_ref[f * D + d, :, :] = jnp.zeros((S, LANES), jnp.int32)
 
-        def step_work(t, carry):
-            *fields, depth, susp, susp_t, pushes, spawns = carry
-            p = Particles(**dict(zip(FIELD_NAMES, fields)))
+        # Scalar-sync-free T-loop (the per-step vector->scalar reductions and
+        # dynamic loop bounds cost ~4.7 us/tile-step — 3x the band sweep):
+        #   * fori_loop over [first_t, t_steps] instead of a while with a
+        #     per-step any() early-exit (finished tiles spin cheaply);
+        #   * pushes accumulate per-LANE (reduced once after the loop);
+        #   * spawn counts derive from the staging buffers after the loop;
+        #   * acceleration and genealogy ids never mutate inside the phase,
+        #     so they are loop constants, not carries (less VMEM spill);
+        #   * pipeband: next step's lookup band is computed HERE from this
+        #     step's end-of-step velocities through the exact integrator
+        #     (bit-identical energies), carried as scalars, consumed next
+        #     iteration — the reduce latency hides behind the step's
+        #     remaining vector work.
+        a0 = fields0[6:9]
+        id0 = fields0[10:12]
+        pipeband = config.lookup_mode == "pipeband"
+
+        def next_band(p_next, may_act):
+            # band over lanes that may be ACTIVE next step (inactive lanes'
+            # lookups are gated off in physics, and update_particles zeroes
+            # their lookup energy, so this matches the value band exactly)
+            moved = INTEGRATORS[config.integrator](p_next, config.mobility_dt)
+            hi_n = energy_to_index(collision_energy(moved)) // LANES
+            nz = may_act & (hi_n > 0)
+            return (
+                jnp.min(jnp.where(nz, hi_n, n_chunks - 1)),
+                jnp.max(jnp.where(nz, hi_n, 1)),
+            )
+
+        def body(t, carry):
+            px, py, pz, vx, vy, vz, stamp, depth, susp, susp_t, pvec, h0, h1 = carry
+            p = Particles(
+                px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
+                ax=a0[0], ay=a0[1], az=a0[2],
+                status=stamp, id_hi=id0[0], id_lo=id0[1],
+            )
             candidate = (
-                unf0 & population.is_live(p.status) & (t >= start0) & (susp == 0)
+                unf0 & population.is_live(stamp) & (t >= start0) & (susp == 0)
             )
             suspend_now = candidate & (depth >= D)
             susp = susp | suspend_now.astype(jnp.int32)
             susp_t = jnp.where(suspend_now, t, susp_t)
             active = candidate & ~suspend_now
+            table_lookup = functools.partial(
+                lookup, split_ref, remove_ref, aux_ref,
+                **({"band": (h0, h1)} if pipeband else {}),
+            )
             res = update_particles(
                 p,
                 active=active,
@@ -376,7 +421,7 @@ def _worklog_kernel(
                 rng_rounds=config.rng_rounds,
                 integrator=config.integrator,
                 collision_model=config.collision_model,
-                table_lookup=functools.partial(lookup, split_ref, remove_ref),
+                table_lookup=table_lookup,
             )
             sel3 = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child
@@ -387,41 +432,53 @@ def _worklog_kernel(
                         sel3[d], val, stage_ref[f * D + d, :, :]
                     )
             depth = depth + res.spawn.astype(jnp.int32)
-            pushes = pushes + jnp.sum(active, dtype=jnp.int32)
-            spawns = spawns + jnp.sum(res.spawn, dtype=jnp.int32)
-            return (*res.particles, depth, susp, susp_t, pushes, spawns)
+            pvec = pvec + active.astype(jnp.int32)
+            np_ = res.particles
+            if pipeband:
+                may_act = (
+                    unf0 & population.is_live(np_.status) & (susp == 0)
+                )
+                h0, h1 = next_band(np_, may_act)
+            return (
+                np_.px, np_.py, np_.pz, np_.vx, np_.vy, np_.vz,
+                np_.status, depth, susp, susp_t, pvec, h0, h1,
+            )
 
         zeros = jnp.zeros((S, LANES), jnp.int32)
+        p_init = Particles(
+            px=fields0[0], py=fields0[1], pz=fields0[2],
+            vx=fields0[3], vy=fields0[4], vz=fields0[5],
+            ax=a0[0], ay=a0[1], az=a0[2],
+            status=stamp0, id_hi=id0[0], id_lo=id0[1],
+        )
+        # band for the first executed step: the integrator applied to the
+        # initial state (body computes step t+1's band from step t's output)
+        h0_init, h1_init = (
+            next_band(p_init, unf0 & population.is_live(stamp0))
+            if pipeband
+            else (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        )
         init = (
-            jnp.maximum(tile_first_t, 1),
-            *fields0[:9],
+            *fields0[0:6],
             stamp0,
-            fields0[10],
-            fields0[11],
             zeros,                     # depth
             zeros,                     # suspended (i32 0/1)
             zeros,                     # suspension step
-            jnp.zeros((), jnp.int32),  # pushes
-            jnp.zeros((), jnp.int32),  # spawns
+            zeros,                     # per-lane push counts
+            h0_init,
+            h1_init,
         )
 
-        def loop_cond(carry):
-            t = carry[0]
-            stamp = carry[10]
-            susp = carry[NF + 2]
-            return (t <= t_steps) & jnp.any(
-                unf0 & population.is_live(stamp) & (susp == 0)
+        t0 = jnp.maximum(tile_first_t, 1)
+        final = jax.lax.fori_loop(t0, t_steps + 1, body, init)
+        (px, py, pz, vx, vy, vz, stamp, depth, susp, susp_t, pvec, _h0, _h1) = final
+        fields = (px, py, pz, vx, vy, vz, *a0, stamp, *id0)
+        tile_pushes = jnp.sum(pvec, dtype=jnp.int32)
+        tile_spawns = jnp.zeros((), jnp.int32)
+        for d in range(D):
+            tile_spawns = tile_spawns + jnp.sum(
+                (stage_ref[9 * D + d, :, :] > 0).astype(jnp.int32)
             )
-
-        def loop_body(carry):
-            t = carry[0]
-            out = step_work(t, carry[1:])
-            return (t + 1,) + out
-
-        final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
-        fields = final[:NF]
-        depth, susp, susp_t, tile_pushes, tile_spawns = final[NF:]
-        stamp = fields[9]
 
         live_end = population.is_live(stamp)
         finished = unf0 & live_end & (susp == 0)
@@ -506,6 +563,12 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     S, TILE = _tile_dims(config)
     D = config.spawn_depth
     split2d, remove2d, n_chunks = _pad_tables(table)
+    if config.lookup_mode in ("threshold", "staticthresh"):
+        aux = pack_threshold_table(table)          # (8-padded chunks, L) i32
+    elif config.lookup_mode == "needband":
+        aux = chunk_bound(table)                   # (1, L) f32
+    else:
+        aux = jnp.zeros((1, LANES), jnp.float32)   # unused
     src_rows = src.shape[1]
     done_rows = done.shape[1]
     work_rows = work.shape[1]
@@ -521,12 +584,16 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     table_block = pl.BlockSpec(
         (n_chunks, LANES), lambda i, s: (0, 0), memory_space=pltpu.VMEM
     )
+    aux_block = pl.BlockSpec(
+        aux.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM
+    )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[field_block, table_block, table_block, any_spec, any_spec],
+        in_specs=[field_block, table_block, table_block, aux_block,
+                  any_spec, any_spec],
         out_specs=(
             field_block,
             any_spec,
@@ -559,14 +626,14 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={1: 0, 4: 1, 5: 2},
+        input_output_aliases={1: 0, 5: 1, 6: 2},
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(
             # the emission scratch (staging + two packing buffers) exceeds
             # the default 16M scoped-vmem budget at 128-sublane tiles
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scalars, src, split2d, remove2d, done, work)
+    )(scalars, src, split2d, remove2d, aux, done, work)
 
 
 def _state_to_stack(state: SimState, padded_rows: int):

@@ -47,7 +47,7 @@ def particles_to_state(state: SimState, p: Particles) -> SimState:
 def make_table_lookup(table: jnp.ndarray):
     from ..cross_section import energy_to_index
 
-    def lookup(energy):
+    def lookup(energy, u=None, bits=None):
         idx = energy_to_index(energy)
         row = table[idx]
         return row[..., 0], row[..., 1]

@@ -43,7 +43,9 @@ class RunData:
     total_added: int
     total_removed: int
     device_time_ms: float      # jitted-step wall time (block_until_ready)
-    state: SimState            # final (compacted) state
+    state: Optional[SimState]  # final (compacted) state; the benchmark
+    # sweep drops it after recording (2.4 GB of HBM per run at canonical
+    # capacity)
     steps: List[StepMetrics]
 
     @property

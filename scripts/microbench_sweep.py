@@ -61,7 +61,7 @@ def main():
     orig = push_mcc.make_chunked_lookup
 
     def const_lookup(n_chunks, mode="band0"):
-        def lookup(split_ref, remove_ref, energy):
+        def lookup(split_ref, remove_ref, aux_ref, energy, u, bits):
             five = jnp.full(energy.shape, 0.05, jnp.float32)
             return five, five
         return lookup

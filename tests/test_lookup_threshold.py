@@ -1,0 +1,115 @@
+"""Threshold-mode lookup: exactness incl. the rare undecided-lane fallback.
+
+The coarse 16-bit compare decides a lane only when its draw payload top-16
+differs from the stored threshold; equality (~2^-15 per lane-step) must take
+the exact f32 fallback sweep.  Random tests almost never hit it, so bits are
+engineered here to sit exactly on the boundary.
+
+The lookup closure indexes its table refs with ``ref[c, :]`` which works on
+plain jnp arrays too, so it is tested directly under jit on CPU — the same
+code the Mosaic kernel runs (ops/pallas/push_mcc.py make_chunked_lookup).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_simulation_tpu import rng
+from particle_simulation_tpu.cross_section import N_STEPS, energy_to_index
+from particle_simulation_tpu.ops.pallas.push_mcc import (
+    LANES,
+    _pad_tables,
+    chunk_bound,
+    make_chunked_lookup,
+    pack_threshold_table,
+)
+
+
+def _mk_table(seed=7, n=10000):
+    rs = np.random.default_rng(seed)
+    t = np.zeros((n, 2), np.float32)
+    t[:, 0] = rs.uniform(0, 0.3, n)
+    t[:, 1] = rs.uniform(0, 0.7, n)
+    t[::131, 0] = 100.0
+    t[::97, 1] = 0.0
+    return jnp.asarray(t)
+
+
+@pytest.mark.parametrize(
+    "mode",
+    ["threshold", "needband", "band0", "minmax", "pipeband",
+     "statichybrid", "staticthresh"],
+)
+def test_lookup_modes_preserve_outcomes(mode):
+    table = _mk_table()
+    split2d, remove2d, n_chunks = _pad_tables(table)
+    aux = (
+        pack_threshold_table(table)
+        if mode in ("threshold", "staticthresh")
+        else chunk_bound(table)
+    )
+    # static_chunks=3 << the 79-chunk table forces the dynamic tail path
+    lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3)
+
+    # energies spread over the whole table; (8, 128) tile
+    rs = np.random.default_rng(3)
+    shape = (8, LANES)
+    idx = rs.integers(0, 10000, shape)
+    # bucket-center energies (inverse of the log-bucket formula)
+    energy = np.power(10.0, 22.0 * (idx + 0.5) / N_STEPS - 6.0).astype(
+        np.float32
+    )
+    # engineered bits: half random, half exactly on the stored 16-bit
+    # threshold boundary (forces the undecided fallback)
+    packed = np.asarray(pack_threshold_table(table)).reshape(-1)
+    ts8 = (packed[idx].astype(np.int64) >> 16) & 0xFFFF
+    tt8 = packed[idx].astype(np.int64) & 0xFFFF
+    bits = rs.integers(0, 1 << 32, shape, dtype=np.uint64).astype(np.uint32)
+    force_s = rs.random(shape) < 0.25
+    force_t = ~force_s & (rs.random(shape) < 0.33)
+    bits = np.where(force_s, (ts8 << 16).astype(np.uint32) | (bits & 0xFFFF), bits)
+    bits = np.where(force_t, (tt8 << 16).astype(np.uint32) | (bits & 0xFFFF), bits)
+    u = np.asarray(rng.uniform_from_bits(jnp.asarray(bits), 0.0, 100.0))
+
+    band = ()
+    if mode == "pipeband":
+        hi_np = idx // 128
+        nz = hi_np > 0
+        band = (
+            jnp.int32(np.where(nz, hi_np, n_chunks - 1).min()),
+            jnp.int32(np.where(nz, hi_np, 1).max()),
+        )
+
+    @jax.jit
+    def run(energy, u, bits):
+        if mode == "pipeband":
+            return lookup(split2d, remove2d, aux, energy, u, bits, band=band)
+        return lookup(split2d, remove2d, aux, energy, u, bits)
+
+    sp, rm = run(
+        jnp.asarray(energy, jnp.float32), jnp.asarray(u), jnp.asarray(bits)
+    )
+    sp, rm = np.asarray(sp), np.asarray(rm)
+
+    table_np = np.asarray(table)
+    # the lookup's index derivation must match energy_to_index
+    idx2 = np.asarray(energy_to_index(jnp.asarray(energy, jnp.float32)))
+    np.testing.assert_array_equal(idx, idx2)
+    split_true = table_np[idx, 0]
+    tot_true = table_np[idx, 0] + table_np[idx, 1]
+    # contract: comparison OUTCOMES are preserved, not the raw values
+    np.testing.assert_array_equal(u < sp, u < split_true)
+    np.testing.assert_array_equal(u < sp + rm, u < tot_true)
+
+
+def test_forced_boundary_bits_hit_fallback():
+    """Sanity: the engineered bits above actually create undecided lanes."""
+    table = _mk_table()
+    packed = np.asarray(pack_threshold_table(table)).reshape(-1)
+    rs = np.random.default_rng(3)
+    idx = rs.integers(0, 10000, (8, LANES))
+    ts8 = (packed[idx].astype(np.int64) >> 16) & 0xFFFF
+    bits = (ts8 << 16).astype(np.uint32)
+    p8 = (bits >> np.uint32(16)).astype(np.int64)
+    assert np.all(p8 == ts8)

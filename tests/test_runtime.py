@@ -193,3 +193,31 @@ def test_auto_bucket_bit_exact():
         sorted_particle_array(base.state), sorted_particle_array(bucketed.state)
     )
     assert [m.n for m in bucketed.steps] == [m.n for m in base.steps]
+
+
+def test_bucket_ladder_properties():
+    """The working-capacity ladder must always (a) hold the population with
+    headroom, (b) be monotone in n, (c) clamp to capacity, (d) grow strictly
+    on the overflow-retry path (_bucket_size(w + 1, cap) > w below cap)."""
+    from particle_simulation_tpu.runtime import HEADROOM, _bucket_size
+
+    cap = 50_000_000
+    prev = 0
+    for n in [0, 1, 1000, 65_536, 100_000, 1_000_000, 1_048_577,
+              5_000_000, 20_000_000, 39_999_999, 60_000_000]:
+        w = _bucket_size(n, cap)
+        assert w >= min(int(n * HEADROOM), cap) or w == cap
+        assert w >= n or w == cap
+        assert w <= cap
+        assert w >= prev  # monotone
+        prev = w
+    # overflow retry strictly grows until the cap
+    w = _bucket_size(1_000_000, cap)
+    seen = set()
+    while w < cap:
+        assert w not in seen
+        seen.add(w)
+        nw = _bucket_size(w + 1, cap)
+        assert nw > w
+        w = nw
+    assert len(seen) > 10  # the quarter-step ladder is actually fine-grained
