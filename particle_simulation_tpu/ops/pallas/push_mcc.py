@@ -209,8 +209,13 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
                 sp = jnp.where(sel, spc, sp)
                 rm = jnp.where(sel, rmc, rm)
             over = hi > K
+            # tight tail band: long-T runs accelerate lanes into chunks far
+            # above K — sweep [min, max] of the out-of-range lanes only
+            hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
             hmax_o = jnp.max(jnp.where(over, hi, 1))
-            return jax.lax.fori_loop(K + 1, hmax_o + 1, body, (sp, rm))
+            return jax.lax.fori_loop(
+                jnp.maximum(K + 1, hmin_o), hmax_o + 1, body, (sp, rm)
+            )
 
         if mode in ("threshold", "staticthresh"):
             # ---- coarse pass: ONE i32 gather per chunk (band0 structure) ----
@@ -225,8 +230,12 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
                 th = jnp.zeros(shape, jnp.int32)
                 for c in range(K + 1):      # static unroll incl. chunk 0
                     th = jnp.where(hi == c, th_chunk(c), th)
-                hmax_o = jnp.max(jnp.where(hi > K, hi, 1))
-                th = jax.lax.fori_loop(K + 1, hmax_o + 1, th_body, th)
+                over = hi > K
+                hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
+                hmax_o = jnp.max(jnp.where(over, hi, 1))
+                th = jax.lax.fori_loop(
+                    jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th
+                )
             else:
                 sel0 = hi == 0
                 th = jnp.where(sel0, th_chunk(0), 0)

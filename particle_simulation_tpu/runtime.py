@@ -87,6 +87,26 @@ def _slice_state(state: SimState, w: int) -> SimState:
     )
 
 
+def _pad_state(state: SimState, w: int) -> SimState:
+    """Grow the state container to capacity ``w`` with dead (all-zero)
+    slots.  After compaction every live particle sits in the prefix, so the
+    tail carries no information — zero status is DEAD (population.is_live)."""
+    c = state.capacity
+    if w <= c:
+        return state
+
+    def z(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((w - c,) + a.shape[1:], a.dtype)], axis=0
+        )
+
+    return SimState(
+        pos=z(state.pos), vel=z(state.vel), acc=z(state.acc),
+        status=z(state.status), id_hi=z(state.id_hi), id_lo=z(state.id_lo),
+        n=state.n,
+    )
+
+
 def _merge_state(full: SimState, part: SimState, w: int) -> SimState:
     cat = lambda a, b: jnp.concatenate([a, b[w:]], axis=0)
     return SimState(
@@ -221,15 +241,27 @@ def run_pic_device(
 
     if table is None:
         table = cross_section.load_table(config.cross_section_path)
-    state = setup_particles(config)
+    # The state container lives at BUCKET capacity, not config.capacity:
+    # after compaction the tail beyond the working prefix is always dead, so
+    # merging back into a full-capacity container preserved nothing but
+    # cost 2.4 GB of HBM + a full-container copy per chunk at the canonical
+    # 5e7 capacity (observed 2026-08-17: the TPU worker OOM-crashed on the
+    # canonical naive T=200 sweep rows).
+    w0 = _bucket_size(config.init_n, config.capacity)
+    state = setup_particles(config.replace(capacity=w0))
     steps: List[StepMetrics] = []
     wall_total = 0.0
     done = 0
+    w_hint = 0  # bucket hysteresis: mid-phase population peaks (ionization
+    # avalanches at large T) far exceed the step-boundary population, and a
+    # ladder climb costs one DISCARDED run per rung — start each chunk at
+    # the last successful bucket instead of re-climbing from n.
     while done < config.poisson_steps:
         k = min(chunk_steps, config.poisson_steps - done)
-        w = _bucket_size(int(state.n), config.capacity)
+        w = max(_bucket_size(int(state.n), config.capacity), w_hint)
         while True:
-            part = _slice_state(state, w) if w < config.capacity else state
+            state = _pad_state(state, w)
+            part = _slice_state(state, w) if w < state.capacity else state
             cfg_w = config.replace(capacity=w)
             t0 = time.perf_counter()
             final, metrics = poisson_loop(part, table, cfg_w, k, first_index=done)
@@ -239,6 +271,7 @@ def run_pic_device(
                 w = _bucket_size(w + 1, config.capacity)
                 continue
             break
+        w_hint = w
         wall_total += wall
         lo = [int(x) for x in metrics["pushes_lo"]]
         hi = [int(x) for x in metrics["pushes_hi"]]
@@ -255,7 +288,7 @@ def run_pic_device(
             )
             for i in range(len(ns))
         ]
-        state = _merge_state(state, final, w) if w < config.capacity else final
+        state = final  # container stays at bucket capacity (see above)
         done += k
         if final_n == 0:
             break
