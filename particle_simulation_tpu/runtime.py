@@ -117,25 +117,30 @@ def _merge_state(full: SimState, part: SimState, w: int) -> SimState:
     )
 
 
-def _bucketed_step(state, poisson_index, table, config):
+def _bucketed_step(state, poisson_index, table, config, w_start=0):
     """One Poisson step on the smallest power-of-2 working prefix that holds
     the population with headroom (SURVEY.md §7 'hard parts' (i)).
 
     If growth overflows the working capacity, the step is simply REDONE at
     the next bucket — physics is a pure function of genealogy, so the retry
     is bit-exact, and dropped-children states are discarded wholesale.
+    ``w_start`` (hysteresis from the previous step's successful bucket)
+    avoids re-climbing the ladder every step when mid-phase population
+    peaks far exceed the step-boundary population (large-T avalanches).
+    Returns (state, metrics, w_used).
     """
     n = int(state.n)
-    w = _bucket_size(n, config.capacity)
+    w = max(_bucket_size(n, config.capacity), w_start)
     while True:
         if w >= config.capacity:
-            return poisson_step(state, poisson_index, table, config)
+            state, metrics = poisson_step(state, poisson_index, table, config)
+            return state, metrics, config.capacity
         part = _slice_state(state, w)
         new_part, metrics = poisson_step(
             part, poisson_index, table, config.replace(capacity=w)
         )
         if not bool(metrics["overflow"]):
-            return _merge_state(state, new_part, w), metrics
+            return _merge_state(state, new_part, w), metrics, w
         w = _bucket_size(w + 1, config.capacity)  # redo bigger (exact)
 
 
@@ -170,14 +175,20 @@ def run_pic(
     total_removed = 0
     device_s = 0.0
 
+    w_hint = 0
     for t in range(config.poisson_steps):
         if on_step is not None and config.verbose and t % config.verbose == 0:
             on_step(t, state)
         t0 = time.perf_counter()
-        step_fn = _bucketed_step if auto_bucket else poisson_step
-        state, metrics = step_fn(
-            state, jnp.uint32(t + first_poisson_index), table, config
-        )
+        if auto_bucket:
+            state, metrics, w_hint = _bucketed_step(
+                state, jnp.uint32(t + first_poisson_index), table, config,
+                w_start=w_hint,
+            )
+        else:
+            state, metrics = poisson_step(
+                state, jnp.uint32(t + first_poisson_index), table, config
+            )
         n = int(metrics["n"])  # blocks
         dt_wall = time.perf_counter() - t0
         device_s += dt_wall
