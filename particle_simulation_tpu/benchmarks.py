@@ -121,6 +121,10 @@ def run_benchmark(
     runs: List[RunData] = []
     t_start = time.perf_counter()
     warmed = set()
+    # per-scheduler bucket hysteresis carried ACROSS runs: without it every
+    # T>=200 canonical point re-climbs the capacity ladder (one discarded
+    # run per rung — ~6 wasted runs/point at the avalanche configs)
+    hints: dict = {}
     for cfg in sweep_configs(profile):
         if (_FUNC_NAME[cfg.scheduler], cfg.poisson_timestep) in done:
             continue
@@ -131,17 +135,23 @@ def run_benchmark(
         # traced scalar, so the compilation is shared across all T points)
         if cfg.scheduler not in warmed:
             # full warm run: compiles every chunk size the real runs use
-            warm = run_pic_device(cfg)
+            warm = run_pic_device(cfg, w_start=hints.get(cfg.scheduler, 0))
             warm.state = None
+            hints[cfg.scheduler] = max(
+                hints.get(cfg.scheduler, 0), warm.last_bucket
+            )
             warmed.add(cfg.scheduler)
         prior = [
             t for (f, _), t in done.items() if f == _FUNC_NAME[cfg.scheduler]
         ] + [r.device_time_ms for r in runs if r.config.scheduler == cfg.scheduler]
         for attempt in range(2):
             t0 = time.perf_counter()
-            run = run_pic_device(cfg)
+            run = run_pic_device(cfg, w_start=hints.get(cfg.scheduler, 0))
             wall = time.perf_counter() - t0
             run.state = None  # 2.4 GB of HBM per held state at canonical cap
+            hints[cfg.scheduler] = max(
+                hints.get(cfg.scheduler, 0), run.last_bucket
+            )
             suspicious = (
                 prior
                 and run.device_time_ms > 5 * max(prior)

@@ -47,6 +47,8 @@ class RunData:
     # sweep drops it after recording (2.4 GB of HBM per run at canonical
     # capacity)
     steps: List[StepMetrics]
+    last_bucket: int = 0       # final working-capacity bucket (hysteresis
+    # seed for subsequent runs at the same config family)
 
     @property
     def function(self) -> str:
@@ -237,6 +239,7 @@ def run_pic_device(
     config: SimConfig,
     table: Optional[jnp.ndarray] = None,
     chunk_steps: int = 2,
+    w_start: int = 0,
 ) -> RunData:
     """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
     device-resident chunks (ops/step.poisson_loop) so the per-step host
@@ -263,7 +266,8 @@ def run_pic_device(
     steps: List[StepMetrics] = []
     wall_total = 0.0
     done = 0
-    w_hint = 0  # bucket hysteresis: mid-phase population peaks (ionization
+    w_hint = min(w_start, config.capacity)
+    # bucket hysteresis: mid-phase population peaks (ionization
     # avalanches at large T) far exceed the step-boundary population, and a
     # ladder climb costs one DISCARDED run per rung — start each chunk at
     # the last successful bucket instead of re-climbing from n.
@@ -311,6 +315,7 @@ def run_pic_device(
         device_time_ms=wall_total * 1e3,
         state=state,
         steps=steps,
+        last_bucket=w_hint,
     )
 
 
