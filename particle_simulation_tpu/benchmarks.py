@@ -101,6 +101,7 @@ def run_benchmark(
     out_csv: str = "out/data/mobility_timesteps_nodet.csv",
     time_budget_s: Optional[float] = None,
     resume: bool = False,
+    only_schedulers: Optional[List[str]] = None,
 ) -> List[RunData]:
     """Run the sweep, appending each row to ``out_csv`` as it completes.
 
@@ -126,6 +127,8 @@ def run_benchmark(
     # run per rung — ~6 wasted runs/point at the avalanche configs)
     hints: dict = {}
     for cfg in sweep_configs(profile):
+        if only_schedulers and cfg.scheduler not in only_schedulers:
+            continue
         if (_FUNC_NAME[cfg.scheduler], cfg.poisson_timestep) in done:
             continue
         if time_budget_s and time.perf_counter() - t_start > time_budget_s:
