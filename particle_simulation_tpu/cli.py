@@ -7,7 +7,8 @@ with MODE in {bench, 30 (Dynamic), 31 (CPU Sync), 32 (Naive),
 
 Usage:  python -m particle_simulation_tpu 30 0 1000000 10 256 50000000 100 100
 Extra keyword-style overrides (grid=, cs=, seed=, precision=, mesh=N for a
-multi-chip run over an N-device mesh, ckpt=DIR, field=, platform=) are
+multi-chip run over an N-device mesh, ckpt=DIR, field=, platform=,
+bucket=0/1 to disable/enable capacity-ladder bucketing [default 1]) are
 accepted after the positional args — a new-framework extension.
 """
 
@@ -26,6 +27,8 @@ class CliOptions:
     config: SimConfig
     ckpt_dir: str = ""
     mesh: int = 0          # 0 = single chip; N = shard over an N-device mesh
+    bucket: bool = True    # capacity-ladder bucketing (bucket=0 to run every
+    # step at full MAX_N capacity, the literal reference shape)
 
 
 def parse_args(argv) -> CliOptions:
@@ -75,6 +78,8 @@ def parse_args(argv) -> CliOptions:
             opts.ckpt_dir = val
         elif key == "mesh":
             opts.mesh = int(val)
+        elif key == "bucket":
+            opts.bucket = bool(int(val))
         elif key == "platform":
             import jax
 
@@ -153,7 +158,14 @@ def main(argv=None) -> int:
 
                 if not cfg.verbose:
                     cfg = cfg.replace(verbose=1)
-            run_pic(cfg, on_step=hook)
+            # auto_bucket: run each Poisson step on the smallest
+            # capacity-ladder prefix that holds the population — physics is
+            # bit-identical (genealogy-keyed RNG; overflow redoes the step
+            # one bucket up) but a reference-shaped MAX_N=5e7 run at small
+            # init_n no longer pays full-capacity step cost (~25% at the
+            # bench point, far more at low n).  bucket=0 restores the
+            # literal full-capacity execution shape.
+            run_pic(cfg, on_step=hook, auto_bucket=opts.bucket)
     elif mode == "test":
         from .testing import run_unit_test
 

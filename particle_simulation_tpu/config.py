@@ -73,6 +73,11 @@ class SimConfig:
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
     # (models/poisson_fft.py), the flagged fidelity upgrade.
     field_model: str = "neighbour"
+    # Bounding-box subgrid edge for the field phase (ops/grid.py round-3
+    # notes): the live population stays in a tiny box (dt=1e-12 s means
+    # sub-cell displacement per step), so deposit/stencil/gather run on an
+    # S^3 window with a bit-identical full-grid fallback.  0 disables.
+    bbox_subgrid: int = 64
 
     @property
     def sim_size(self) -> Tuple[float, float, float]:

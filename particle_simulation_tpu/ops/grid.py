@@ -170,6 +170,166 @@ def gather_acceleration_packdiff(charge_flat, pos, weight, cell_size,
     return jnp.where(weight[:, None] > 0, acc, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Bounding-box subgrid field phase (round 3).
+#
+# Physics: with mobility dt = 1e-12 s and cell size 1e-2 m, a particle moves
+# one cell only at |v| >= 1e10 m/s — so the live population effectively never
+# leaves the 62-cell seed cube (src/particle_move.cu:7-19) plus a thin shell.
+# The full-grid phase therefore wastes almost all its work: the deposit
+# scatters into a 67 MB (256^3) / 512 MB (512^3) grid, the stencil build
+# streams the whole grid, and the gather reads it back — while all live
+# cells fit in a 64^3 (1 MB) box.
+#
+# Design (all measured on the chip, see scripts/microbench_bbox.py):
+#   * bbox = min/max cell over live particles (cheap reduction);
+#   * deposit into the S^3 subgrid via an MXU one-hot matmul histogram:
+#     counts(R=S^3/128, 128) = sum over particle tiles of
+#     onehot_row^T @ onehot_lane (bf16 inputs, f32 accumulate) — beats the
+#     XLA scatter floor (74M updates/s) because the scatter's sequential
+#     per-update loop becomes dense MXU work;
+#   * stencil + pack + gather reuse the existing packed-diff machinery on
+#     the tiny subgrid;
+#   * a lax.cond falls back to the full-grid path whenever the bbox does
+#     not fit the static S^3 window, so the subgrid is purely an
+#     optimization: values are bit-identical (tests/test_grid.py).
+# ---------------------------------------------------------------------------
+
+
+def live_bbox(idx, weight, grid_size):
+    """(lo, hi) cell-coordinate bounds over weighted particles.  With no
+    live particles lo > hi (lo=grid_size, hi=-1)."""
+    live = weight[:, None] > 0
+    big = jnp.asarray(grid_size, jnp.int32)
+    lo = jnp.min(jnp.where(live, idx, big), axis=0)
+    hi = jnp.max(jnp.where(live, idx, -1), axis=0)
+    return lo, hi
+
+
+def _mxu_histogram(flat, num_cells, tile_p=512):
+    """Histogram of ``flat`` ids (invalid entries = -1) over [0, num_cells),
+    num_cells a multiple of 128, via per-tile one-hot matmuls.
+
+    EXACT for any population: each tile's (R, 128) f32 matmul result counts
+    at most tile_p <= 2^24 hits per cell exactly; tiles accumulate in f32
+    within groups of <= 2^14 tiles (group totals < 2^24, still exact) and
+    groups fold into an i32 accumulator.
+    """
+    R = num_cells // 128
+    n = flat.shape[0]
+    tiles = -(-n // tile_p)
+    group = min(tiles, 1 << 14)
+    groups = -(-tiles // group)
+    pad = groups * group * tile_p - n
+    fp = jnp.concatenate([flat, jnp.full((pad,), -1, jnp.int32)])
+    tiled = fp.reshape(groups, group, tile_p)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def tile_body(acc_f32, ids):
+        row = (ids >> 7)[:, None]
+        lane = (ids & 127)[:, None]
+        oh_r = (row == iota_r).astype(jnp.bfloat16)   # (P, R)
+        oh_l = (lane == iota_l).astype(jnp.bfloat16)  # (P, 128)
+        return (
+            acc_f32
+            + jax.lax.dot_general(
+                oh_r, oh_l, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            None,
+        )
+
+    def group_body(acc_i32, group_tiles):
+        acc_f32, _ = jax.lax.scan(
+            tile_body, jnp.zeros((R, 128), jnp.float32), group_tiles
+        )
+        return acc_i32 + acc_f32.astype(jnp.int32), None
+
+    counts, _ = jax.lax.scan(
+        group_body, jnp.zeros((R, 128), jnp.int32), tiled
+    )
+    return counts.reshape(-1)
+
+
+def _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight):
+    """Field values from subgrid counts: packed-diff build + one gather.
+    Bit-identical to the full-grid packdiff path restricted to the bbox
+    (missing neighbours are 0 either way — empty cells and out-of-grid
+    cells both carry zero charge)."""
+    dx, dy, dz = _int_diffs(counts, (S, S, S))
+    lim = _PACK_BIAS - 1
+    fits = (
+        (jnp.max(jnp.abs(dx)) <= lim)
+        & (jnp.max(jnp.abs(dy)) <= lim)
+        & (jnp.max(jnp.abs(dz)) <= lim)
+    )
+    safe = jnp.maximum(flat_sub, 0)
+
+    def packed_path(_):
+        packed = (
+            ((dx + _PACK_BIAS) << 20)
+            | ((dy + _PACK_BIAS) << 10)
+            | (dz + _PACK_BIAS)
+        ).reshape(-1)
+        v = packed.at[safe].get(mode="promise_in_bounds")
+        mask = (1 << 10) - 1
+        d3 = jnp.stack(
+            [(v >> 20) - _PACK_BIAS,
+             ((v >> 10) & mask) - _PACK_BIAS,
+             (v & mask) - _PACK_BIAS],
+            axis=1,
+        )
+        return d3.astype(jnp.float32) * jnp.float32(e_const)
+
+    def rows_path(_):
+        acc_grid = (
+            jnp.stack([dx, dy, dz], axis=-1).reshape(-1, 3).astype(jnp.float32)
+            * jnp.float32(e_const)
+        )
+        return acc_grid.at[safe].get(mode="promise_in_bounds")
+
+    acc = jax.lax.cond(fits, packed_path, rows_path, 0)
+    return jnp.where(weight[:, None] > 0, acc, 0.0)
+
+
+def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
+                            subgrid=64, tile_p=512):
+    """Full field phase (deposit + stencil + gather) on a bbox subgrid when
+    the live population fits an S^3 window; falls back to the full-grid
+    scatter + packdiff path (bit-identical values) otherwise.
+
+    Replaces the reference's resetGrid/particlesToGrid/updateGrid/
+    gridToParticles sequence (src/grid_operations.cu) for the production
+    f32 path.
+    """
+    S = subgrid
+    assert (S * S * S) % 128 == 0, "subgrid edge must be a multiple of 8"
+    idx = cell_indices(pos, cell_size, grid_size)
+    lo, hi = live_bbox(idx, weight, grid_size)
+    origin = jnp.maximum(lo - 1, 0)
+    ext = hi - origin
+    gmax = jnp.asarray(grid_size, jnp.int32) - 1
+    # containment + a zero-charge margin on the high side (or the global
+    # boundary, where missing neighbours contribute 0 in the reference too)
+    fits = jnp.all((ext <= S - 2) | ((ext <= S - 1) & (hi == gmax)))
+
+    def subgrid_path(_):
+        rel = idx - origin[None, :]
+        flat_sub = (rel[:, 0] * S + rel[:, 1]) * S + rel[:, 2]
+        flat_sub = jnp.where(weight > 0, flat_sub, -1)
+        counts = _mxu_histogram(flat_sub, S * S * S, tile_p=tile_p)
+        return _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight)
+
+    def full_path(_):
+        charge = deposit(pos, weight, cell_size, grid_size)
+        return gather_acceleration_packdiff(
+            charge, pos, weight, cell_size, grid_size, e_const
+        )
+
+    return jax.lax.cond(fits, subgrid_path, full_path, 0)
+
+
 def field_grid(charge_flat, grid_size, e_const):
     """Materialize the full acceleration grid (gx,gy,gz,3) float32 — the
     reference's updateGrid output.  Used by tests and diagnostics only; the

@@ -74,6 +74,20 @@ def grid_phase(state: SimState, config: SimConfig) -> SimState:
     weight = (population.is_live(state.status) & (slot < state.n_clamped)).astype(
         jnp.int32
     )
+    if (
+        config.bbox_subgrid
+        and config.field_model == "neighbour"
+        and state.pos.dtype == jnp.float32
+    ):
+        # bbox subgrid fast path: deposit (MXU one-hot histogram) + stencil
+        # + gather all restricted to the live population's bounding box;
+        # lax.cond falls back to the full-grid path (bit-identical) when the
+        # population outgrows the static window (grid.py round-3 notes).
+        acc = grid_ops.bbox_field_acceleration(
+            state.pos, weight, config.cell_size, config.grid_size,
+            config.electric_force_constant, subgrid=config.bbox_subgrid,
+        )
+        return state._replace(acc=acc)
     charge = grid_ops.deposit(state.pos, weight, config.cell_size, config.grid_size)
     acc = field_acceleration(charge, state.pos, weight, config)
     return state._replace(acc=acc)

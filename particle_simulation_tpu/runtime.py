@@ -232,6 +232,7 @@ def run_pic(
         device_time_ms=device_s * 1e3,
         state=state,
         steps=steps,
+        last_bucket=w_hint,
     )
 
 

@@ -1,15 +1,22 @@
 """Weak-scaling sweep over a device mesh: per-step wall time vs shard count
 with constant per-shard workload (SURVEY.md §2.3 / §5.8 contract).
 
-On real multi-chip hardware this measures ICI scaling of the one collective
-per step (the charge-grid psum).  Without it (this environment exposes a
-single chip), the sweep runs on a virtual CPU mesh
-(--xla_force_host_platform_device_count), which validates the sharded path
-end-to-end and records the artifact shape; absolute times are CPU-bound.
+IMPORTANT CAVEAT (recorded into the CSV header): this environment exposes a
+single TPU chip, so the sweep runs on a virtual CPU mesh
+(--xla_force_host_platform_device_count).  A virtual mesh time-slices ONE
+host CPU across all "devices" — per-step wall time CANNOT stay flat as the
+mesh grows, so the timing column here validates only that the sharded path
+executes end-to-end; it is NOT a weak-scaling measurement.  What CAN be
+recorded exactly is the communication model: the only per-step collective is
+one charge-grid psum (+O(1) scalar psums), so each row carries the psum'd
+bytes and a v5p ICI cost estimate; everything else in the step is
+shard-local by construction (parallel/sharded.py).  On real multi-chip
+hardware, rerun with WEAK_SCALING_PLATFORM=tpu to get true timings.
 
     python scripts/weak_scaling.py [max_devices] [out_csv]
 
-Writes out/data/weak_scaling_mesh.csv: mesh,n_global,per_step_s,final_n.
+Writes out/data/weak_scaling_mesh.csv (comment header + columns
+mesh,n_global_init,per_step_s,final_n,psum_mib_per_step,est_ici_allreduce_ms).
 """
 
 import os
@@ -58,8 +65,32 @@ def main():
     )
     table = load_table()
     os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)
+    # Collective cost model: the one per-step collective is the charge-grid
+    # all-reduce (psum of an i32 grid, parallel/sharded.py:103).  Ring
+    # all-reduce moves 2*S*(N-1)/N bytes per chip; v5p ICI is ~100 GB/s
+    # usable per chip per direction (scaling-book figure; order-of-magnitude
+    # estimate, not a measurement).
+    grid_bytes = 4 * (
+        per_shard.grid_size[0] * per_shard.grid_size[1] * per_shard.grid_size[2]
+    )
+    ici_bw = 100e9  # bytes/s, v5p-class ICI per chip (estimate)
     with open(OUT, "w") as f:
-        f.write("mesh,n_global_init,per_step_s,final_n\n")
+        f.write(
+            "# Virtual CPU mesh on ONE host: per_step_s validates the sharded\n"
+            "# path only — it is NOT a weak-scaling timing (a single CPU is\n"
+            "# time-sliced across all shards, so time rises with mesh size by\n"
+            "# construction).  The communication model columns are exact:\n"
+            "# psum_mib_per_step is the bytes all-reduced per step (the ONLY\n"
+            "# per-step collective: one i32 charge-grid psum; mobility/spawn/\n"
+            "# compaction are shard-local), est_ici_allreduce_ms prices it at\n"
+            f"# ~{ici_bw/1e9:.0f} GB/s/chip ring all-reduce on v5p-class ICI.\n"
+            "# Rerun with WEAK_SCALING_PLATFORM=tpu on real multi-chip hardware\n"
+            "# for true timings.\n"
+        )
+        f.write(
+            "mesh,n_global_init,per_step_s,final_n,"
+            "psum_mib_per_step,est_ici_allreduce_ms\n"
+        )
         n = 1
         while n <= MAX_DEV:
             mesh = make_mesh(n)
@@ -78,7 +109,11 @@ def main():
                 state, m = step(state, jnp.uint32(t), table)
             final_n = int(m["n"])
             dt = (time.perf_counter() - t0) / max(steps, 1)
-            f.write(f"{n},{per_shard.init_n * n},{dt:.6f},{final_n}\n")
+            moved = 2 * grid_bytes * (n - 1) / n  # ring all-reduce bytes/chip
+            f.write(
+                f"{n},{per_shard.init_n * n},{dt:.6f},{final_n},"
+                f"{moved / 2**20:.3f},{moved / ici_bw * 1e3:.4f}\n"
+            )
             f.flush()
             print(f"mesh={n}: {dt*1e3:9.1f} ms/step  final_n={final_n}",
                   flush=True)

@@ -119,3 +119,78 @@ def test_packdiff_bit_exact_and_fallback():
     fused2 = g.gather_acceleration(
         big, jnp.asarray(pos), jnp.asarray(weight), CELL, GRID, e)
     np.testing.assert_array_equal(np.asarray(fused2), np.asarray(new2))
+
+
+def _full_path_acc(pos, weight, cell, grid, e):
+    charge = g.deposit(jnp.asarray(pos), jnp.asarray(weight), cell, grid)
+    return g.gather_acceleration_packdiff(
+        charge, jnp.asarray(pos), jnp.asarray(weight), cell, grid, e)
+
+
+def test_mxu_histogram_matches_scatter_deposit():
+    rng = np.random.default_rng(3)
+    n = 3000
+    flat = rng.integers(0, 16 * 16 * 16, n).astype(np.int32)
+    flat[rng.uniform(size=n) < 0.2] = -1  # invalid (dead) slots
+    counts = g._mxu_histogram(jnp.asarray(flat), 16 * 16 * 16, tile_p=256)
+    ref = np.bincount(flat[flat >= 0], minlength=16 * 16 * 16)
+    np.testing.assert_array_equal(np.asarray(counts), ref)
+
+
+def test_bbox_field_bit_exact_clustered():
+    """Clustered population (subgrid path taken): values must equal the
+    full-grid packdiff path bit-for-bit."""
+    rng = np.random.default_rng(4)
+    grid = (64, 64, 64)
+    n = 2000
+    e = electric_force_constant(CELL)
+    # cluster inside cells [20, 30)^3
+    pos = rng.uniform(20 * CELL, 30 * CELL, (n, 3)).astype(np.float32)
+    weight = (rng.uniform(size=n) < 0.9).astype(np.int32)
+    ref = _full_path_acc(pos, weight, CELL, grid, e)
+    got = g.bbox_field_acceleration(
+        jnp.asarray(pos), jnp.asarray(weight), CELL, grid, e, subgrid=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bbox_field_bit_exact_fallback():
+    """Spread-out population (bbox exceeds the window): the lax.cond
+    fallback must produce the identical full-grid values."""
+    rng = np.random.default_rng(5)
+    grid = (64, 64, 64)
+    n = 2000
+    e = electric_force_constant(CELL)
+    pos = rng.uniform(0, 64 * CELL * 0.999, (n, 3)).astype(np.float32)
+    weight = np.ones(n, np.int32)
+    ref = _full_path_acc(pos, weight, CELL, grid, e)
+    got = g.bbox_field_acceleration(
+        jnp.asarray(pos), jnp.asarray(weight), CELL, grid, e, subgrid=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bbox_field_at_global_boundaries():
+    """Populations touching the global grid boundary: missing neighbours
+    contribute 0 exactly like the reference (src/grid_operations.cu:40-53);
+    the subgrid margin logic must reproduce that bit-for-bit."""
+    rng = np.random.default_rng(6)
+    grid = (64, 64, 64)
+    e = electric_force_constant(CELL)
+    for lo_cell, hi_cell in [(0, 10), (54, 64), (0, 14)]:
+        pos = rng.uniform(
+            lo_cell * CELL, hi_cell * CELL * 0.9999, (800, 3)
+        ).astype(np.float32)
+        weight = np.ones(800, np.int32)
+        ref = _full_path_acc(pos, weight, CELL, grid, e)
+        got = g.bbox_field_acceleration(
+            jnp.asarray(pos), jnp.asarray(weight), CELL, grid, e, subgrid=16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bbox_field_empty_population():
+    grid = (32, 32, 32)
+    e = electric_force_constant(CELL)
+    pos = np.zeros((16, 3), np.float32)
+    weight = np.zeros(16, np.int32)
+    got = g.bbox_field_acceleration(
+        jnp.asarray(pos), jnp.asarray(weight), CELL, grid, e, subgrid=16)
+    np.testing.assert_array_equal(np.asarray(got), np.zeros((16, 3), np.float32))

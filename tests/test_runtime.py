@@ -15,7 +15,7 @@ from particle_simulation_tpu.observability import (
     write_png,
     write_timing_csv,
 )
-from particle_simulation_tpu.runtime import run_pic
+from particle_simulation_tpu.runtime import run_pic, sorted_particle_array
 
 
 def test_cli_positional_contract():
@@ -193,6 +193,44 @@ def test_auto_bucket_bit_exact():
         sorted_particle_array(base.state), sorted_particle_array(bucketed.state)
     )
     assert [m.n for m in bucketed.steps] == [m.n for m in base.steps]
+
+
+def test_cli_scheduler_path_uses_capacity_ladder(monkeypatch, capsys):
+    """A reference-shaped `./run 32 ... MAX_N=5e6` at tiny init_n must run on
+    a sub-capacity bucket by default (VERDICT r2 #6) with physics identical
+    to a direct full-prefix run, and bucket=0 must restore the literal
+    full-capacity shape."""
+    import particle_simulation_tpu.runtime as rt
+    from particle_simulation_tpu import cli
+
+    captured = {}
+    orig = rt.run_pic
+
+    def spy(cfg, **kw):
+        run = orig(cfg, **kw)
+        captured["kwargs"] = kw
+        captured["run"] = run
+        return run
+
+    monkeypatch.setattr(rt, "run_pic", spy)
+    args = ["32", "0", "300", "2", "128", "5000000", "100", "4", "grid=16"]
+    assert cli.main(list(args)) == 0
+    assert captured["kwargs"]["auto_bucket"] is True
+    bucketed = captured["run"]
+    assert 0 < bucketed.last_bucket < 5_000_000  # sub-capacity bucket
+
+    # physics identical to a direct run at the bucket capacity (genealogy-
+    # keyed RNG makes results capacity-independent)
+    cfg = bucketed.config.replace(capacity=bucketed.last_bucket)
+    base = run_pic(cfg, print_header=False)
+    assert base.final_n == bucketed.final_n
+    np.testing.assert_array_equal(
+        sorted_particle_array(base.state), sorted_particle_array(bucketed.state)
+    )
+
+    assert cli.main(list(args) + ["bucket=0"]) == 0
+    assert captured["kwargs"]["auto_bucket"] is False
+    capsys.readouterr()  # swallow CLI prints
 
 
 def test_bucket_ladder_properties():
