@@ -12,12 +12,16 @@ DEFAULT_CSV = "out/data/mobility_timesteps_nodet.csv"
 
 
 def load_runs(path: str = DEFAULT_CSV) -> pd.DataFrame:
-    df = pd.read_csv(path)
+    df = pd.read_csv(path, comment="#")
     df.columns = [c.strip() for c in df.columns]
     return df
 
 
 def lineplot(df, x, y, hue, out_path, title=None, logy=False):
+    """Line plot with min/max error bands over repeated measurements:
+    duplicate (hue, x) rows — the way the reference records repetitions —
+    aggregate to the median line plus a shaded min..max band (reference
+    analyse/plot.py:36 uses seaborn's errorbar band the same way)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -25,8 +29,16 @@ def lineplot(df, x, y, hue, out_path, title=None, logy=False):
 
     fig, ax = plt.subplots(figsize=(8, 5))
     for key, grp in df.groupby(hue):
-        grp = grp.sort_values(x)
-        ax.plot(grp[x], grp[y], marker="o", label=str(key))
+        agg = (
+            grp.groupby(x)[y].agg(["median", "min", "max"]).reset_index()
+            .sort_values(x)
+        )
+        line, = ax.plot(agg[x], agg["median"], marker="o", label=str(key))
+        if (agg["max"] > agg["min"]).any():
+            ax.fill_between(
+                agg[x], agg["min"], agg["max"],
+                color=line.get_color(), alpha=0.2, linewidth=0,
+            )
     ax.set_xlabel(x)
     ax.set_ylabel(y)
     if logy:

@@ -102,12 +102,22 @@ def run_benchmark(
     time_budget_s: Optional[float] = None,
     resume: bool = False,
     only_schedulers: Optional[List[str]] = None,
+    repeat_map: Optional[dict] = None,
+    max_t: Optional[dict] = None,
 ) -> List[RunData]:
     """Run the sweep, appending each row to ``out_csv`` as it completes.
 
     ``resume=True`` keeps an existing CSV and skips configs already recorded
     (an interrupted canonical sweep continues where it left off); otherwise
     an existing CSV is moved to ``.bak`` and the sweep starts fresh.
+
+    ``repeat_map`` maps (scheduler, T) -> total measurement count; extra
+    measurements append DUPLICATE rows, which is exactly how the reference
+    feeds seaborn's error bands (analyse/plot.py:36 aggregates repeated
+    config rows).  ``max_t`` maps scheduler -> highest T to record (the
+    sync oracle's generation fixed point is quadratic-ish in T at canonical
+    scale; reference's Naive is likewise capped by shared memory,
+    src/test.cu:23).
 
     Outlier protection: a measurement more than 5x above any same-scheduler
     time already recorded (and over 30 s) is re-measured once and the retry
@@ -129,6 +139,8 @@ def run_benchmark(
     for cfg in sweep_configs(profile):
         if only_schedulers and cfg.scheduler not in only_schedulers:
             continue
+        if max_t and cfg.poisson_timestep > max_t.get(cfg.scheduler, 10**9):
+            continue
         if (_FUNC_NAME[cfg.scheduler], cfg.poisson_timestep) in done:
             continue
         if time_budget_s and time.perf_counter() - t_start > time_budget_s:
@@ -147,38 +159,43 @@ def run_benchmark(
         prior = [
             t for (f, _), t in done.items() if f == _FUNC_NAME[cfg.scheduler]
         ] + [r.device_time_ms for r in runs if r.config.scheduler == cfg.scheduler]
-        for attempt in range(2):
-            t0 = time.perf_counter()
-            run = run_pic_device(cfg, w_start=hints.get(cfg.scheduler, 0))
-            wall = time.perf_counter() - t0
-            run.state = None  # 2.4 GB of HBM per held state at canonical cap
-            hints[cfg.scheduler] = max(
-                hints.get(cfg.scheduler, 0), run.last_bucket
-            )
-            suspicious = (
-                prior
-                and run.device_time_ms > 5 * max(prior)
-                and run.device_time_ms > 30_000
-            )
-            if not suspicious or attempt == 1:
+        reps = (repeat_map or {}).get(
+            (cfg.scheduler, cfg.poisson_timestep), 1
+        )
+        for rep in range(reps):
+            for attempt in range(2):
+                t0 = time.perf_counter()
+                run = run_pic_device(cfg, w_start=hints.get(cfg.scheduler, 0))
+                wall = time.perf_counter() - t0
+                run.state = None  # 2.4 GB of HBM per held state at canonical cap
+                hints[cfg.scheduler] = max(
+                    hints.get(cfg.scheduler, 0), run.last_bucket
+                )
+                suspicious = (
+                    prior
+                    and run.device_time_ms > 5 * max(prior)
+                    and run.device_time_ms > 30_000
+                )
+                if not suspicious or attempt == 1:
+                    break
+                print(
+                    f"outlier {run.device_time_ms:.0f} ms (prior max "
+                    f"{max(prior):.0f} ms) — re-measuring once",
+                    flush=True,
+                )
+            if run.final_n >= cfg.capacity:
+                print("Illegal configuration, capacity reached — skipping record")
                 break
+            pushes = estimate_pushes(run)
             print(
-                f"outlier {run.device_time_ms:.0f} ms (prior max "
-                f"{max(prior):.0f} ms) — re-measuring once",
+                f"{cfg.scheduler:12s} T={cfg.poisson_timestep:5d} "
+                f"rep={rep} final_n={run.final_n:9d} "
+                f"device={run.device_time_ms:9.1f} ms wall={wall:6.1f} s "
+                f"pushes/s={pushes / max(run.device_time_ms / 1e3, 1e-9):.3e}",
                 flush=True,
             )
-        if run.final_n >= cfg.capacity:
-            print("Illegal configuration, capacity reached — skipping record")
-            continue
-        pushes = estimate_pushes(run)
-        print(
-            f"{cfg.scheduler:12s} T={cfg.poisson_timestep:5d} "
-            f"final_n={run.final_n:9d} device={run.device_time_ms:9.1f} ms "
-            f"wall={wall:6.1f} s pushes/s={pushes / max(run.device_time_ms / 1e3, 1e-9):.3e}",
-            flush=True,
-        )
-        runs.append(run)
-        _append_csv(out_csv, run)
+            runs.append(run)
+            _append_csv(out_csv, run)
     return runs
 
 

@@ -74,6 +74,8 @@ def parse_args(argv) -> CliOptions:
                 jax.config.update("jax_enable_x64", True)
         elif key == "field":
             cfg = cfg.replace(field_model=val)
+        elif key == "gridmode":
+            cfg = cfg.replace(grid_mode=val)
         elif key == "ckpt":
             opts.ckpt_dir = val
         elif key == "mesh":

@@ -78,6 +78,11 @@ class SimConfig:
     # sub-cell displacement per step), so deposit/stencil/gather run on an
     # S^3 window with a bit-identical full-grid fallback.  0 disables.
     bbox_subgrid: int = 64
+    # Multi-chip field-phase strategy (parallel/sharded.py): "replicated"
+    # psums the per-shard deposit grid; "slab" shards the bbox subgrid into
+    # x-slabs (psum_scatter + ppermute halo exchange + all_gather rows) —
+    # the mesh>8 growth path (1/n grid memory, ~half the collective bytes).
+    grid_mode: str = "replicated"
 
     @property
     def sim_size(self) -> Tuple[float, float, float]:

@@ -78,34 +78,144 @@ def setup_sharded(config: SimConfig, mesh: Mesh) -> SimState:
     return shard_state(stacked, mesh)
 
 
+def _slab_subgrid_field(idx, weight, origin, config: SimConfig, n_dev: int):
+    """Grid-SHARDED field phase on the live population's bounding subgrid
+    (the mesh>8 growth path, SURVEY.md §5.8):
+
+      * global bbox via pmin/pmax (uniform across shards);
+      * per-shard MXU-histogram deposit on the S^3 subgrid, then ONE
+        ``psum_scatter`` so each chip holds only its summed x-slab
+        (S/n_dev planes) — half the bytes of a full-grid all-reduce and
+        1/n_dev of the grid memory per chip;
+      * stencil on the slab with a ``ppermute`` halo exchange of one
+        charge plane per neighbour (the unpaired edge chips receive zeros,
+        which is exactly the reference's missing-neighbour semantics,
+        src/grid_operations.cu:40-53);
+      * acceleration slab rows ``all_gather``-ed (position-indexed gather
+        needs the full subgrid: particles are slot-sharded, not spatially
+        partitioned — the reference population never leaves its seed cube,
+        so spatial partitioning would concentrate all work on one chip).
+
+    Exact: integer counts/diffs; f32 conversion exact below 2^24 per cell
+    (same bound as the replicated path).  Values are bit-identical to the
+    replicated-psum path (tests/test_sharded.py).
+    """
+    S = config.bbox_subgrid
+    sx = S // n_dev
+    e_const = config.electric_force_constant
+
+    def acc_fn(_):
+        rel = idx - origin[None, :]
+        flat = (rel[:, 0] * S + rel[:, 1]) * S + rel[:, 2]
+        flat = jnp.where(weight > 0, flat, -1)
+        counts = grid_ops._mxu_histogram(flat, S * S * S)
+        planes = counts.reshape(S, S * S)
+        slab = jax.lax.psum_scatter(
+            planes, "dp", scatter_dimension=0, tiled=True
+        )  # (sx, S*S) summed x-slab
+        # halo exchange: one plane to each neighbour; edge chips get zeros
+        halo_lo = jax.lax.ppermute(
+            slab[-1:], "dp", [(i, i + 1) for i in range(n_dev - 1)]
+        )
+        halo_hi = jax.lax.ppermute(
+            slab[:1], "dp", [(i + 1, i) for i in range(n_dev - 1)]
+        )
+        ext = jnp.concatenate([halo_lo, slab, halo_hi], axis=0).reshape(
+            sx + 2, S, S
+        )
+        dx = ext[2:] - ext[:-2]
+        mid = ext[1:-1]
+        z1 = jnp.zeros((sx, 1, S), jnp.int32)
+        dy = (
+            jnp.concatenate([mid[:, 1:], z1], axis=1)
+            - jnp.concatenate([z1, mid[:, :-1]], axis=1)
+        )
+        z2 = jnp.zeros((sx, S, 1), jnp.int32)
+        dz = (
+            jnp.concatenate([mid[:, :, 1:], z2], axis=2)
+            - jnp.concatenate([z2, mid[:, :, :-1]], axis=2)
+        )
+        rows_slab = (
+            jnp.stack([dx, dy, dz], axis=-1).reshape(sx * S * S, 3)
+            .astype(jnp.float32)
+            * jnp.float32(e_const)
+        )
+        rows = jax.lax.all_gather(rows_slab, "dp", tiled=True)  # (S^3, 3)
+        acc = rows.at[jnp.maximum(flat, 0)].get(mode="promise_in_bounds")
+        return jnp.where(weight[:, None] > 0, acc, 0.0)
+
+    return acc_fn
+
+
 def sharded_poisson_step(mesh: Mesh, config: SimConfig):
     """Build the jitted multi-chip Poisson step.
 
     Returns step(state, poisson_index, table) -> (state, metrics) where the
     state is the sharded layout produced by setup_sharded.
+
+    ``config.grid_mode`` selects the field-phase communication strategy:
+    "replicated" (default) deposits per shard on the full grid and psums it;
+    "slab" runs the grid-sharded bbox-subgrid path (_slab_subgrid_field)
+    with a replicated fallback when the population outgrows the window.
     """
     from ..schedulers import get_mobility_phase
 
     mobility_phase = get_mobility_phase(config.scheduler)
+    n_dev = int(mesh.devices.size)
+    S = config.bbox_subgrid
+    use_slab = (
+        config.grid_mode == "slab"
+        and S > 0
+        and S % max(n_dev, 1) == 0
+        and config.field_model == "neighbour"
+        and config.precision != "f64"
+    )
+    if config.grid_mode == "slab" and not use_slab:
+        raise ValueError(
+            "grid_mode='slab' needs bbox_subgrid % n_devices == 0, the "
+            "neighbour field model and f32 precision"
+        )
 
     def per_shard(state: SimState, poisson_index, table):
         # state arrays here are the local shard; n is shape (1,)
         state = state._replace(n=state.n[0])
 
-        # ---- grid phase: local deposit, psum over ICI, local gather ----
+        # ---- grid phase ----
         slot = jnp.arange(state.capacity, dtype=jnp.int32)
         weight = (
             population.is_live(state.status) & (slot < state.n_clamped)
         ).astype(jnp.int32)
-        charge_local = grid_ops.deposit(
-            state.pos, weight, config.cell_size, config.grid_size
-        )
-        charge = jax.lax.psum(charge_local, "dp")
         from ..ops.step import field_acceleration
 
-        state = state._replace(
-            acc=field_acceleration(charge, state.pos, weight, config)
-        )
+        def replicated_acc(_):
+            charge_local = grid_ops.deposit(
+                state.pos, weight, config.cell_size, config.grid_size
+            )
+            charge = jax.lax.psum(charge_local, "dp")
+            return field_acceleration(charge, state.pos, weight, config)
+
+        if use_slab:
+            idx = grid_ops.cell_indices(
+                state.pos, config.cell_size, config.grid_size
+            )
+            lo, hi = grid_ops.live_bbox(idx, weight, config.grid_size)
+            lo = jax.lax.pmin(lo, "dp")
+            hi = jax.lax.pmax(hi, "dp")
+            origin = jnp.maximum(lo - 1, 0)
+            extent = hi - origin
+            gmax = jnp.asarray(config.grid_size, jnp.int32) - 1
+            fits = jnp.all(
+                (extent <= S - 2) | ((extent <= S - 1) & (hi == gmax))
+            )
+            acc = jax.lax.cond(
+                fits,
+                _slab_subgrid_field(idx, weight, origin, config, n_dev),
+                replicated_acc,
+                0,
+            )
+        else:
+            acc = replicated_acc(0)
+        state = state._replace(acc=acc)
 
         # ---- mobility phase + compaction: fully shard-local ----
         n_start = state.n_clamped
