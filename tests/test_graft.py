@@ -4,6 +4,7 @@ import importlib.util
 import os
 
 import jax
+import pytest
 
 
 def _load():
@@ -14,6 +15,7 @@ def _load():
     return mod
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     ge = _load()
     fn, args = ge.entry()
@@ -22,6 +24,7 @@ def test_entry_compiles_and_runs():
     assert int(out.n) > 0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     ge = _load()
     ge.dryrun_multichip(8)

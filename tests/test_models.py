@@ -5,6 +5,7 @@ engines bit-equal for any model selection)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from particle_simulation_tpu import SimConfig, setup_particles
 from particle_simulation_tpu.ops.physics import Particles, boris, leapfrog
@@ -57,6 +58,7 @@ def _run(cfg, table):
     return sorted_particle_array(state), int(m["n"])
 
 
+@pytest.mark.slow
 def test_boris_cadence_independent(const_table):
     """The alternative integrator preserves the scheduler-equivalence
     contract: all decisions/counts exact; float payloads compared with a
@@ -74,6 +76,7 @@ def test_boris_cadence_independent(const_table):
     np.testing.assert_allclose(arr_sync, arr_dyn, rtol=2e-6, atol=1e-30)
 
 
+@pytest.mark.slow
 def test_isotropic_cadence_independent(const_table):
     """The isotropic model's DECISIONS (who splits/dies, genealogy, counts)
     are exact across cadences; the child velocity involves sin/cos whose

@@ -23,6 +23,7 @@ CFG = SimConfig(
 )
 
 
+@pytest.mark.slow
 def test_dynamic_matches_oracle():
     base = run_pic(CFG.replace(scheduler="sync"), print_header=False)
     dyn = run_pic(CFG.replace(scheduler="dynamic"), print_header=False)
@@ -41,6 +42,7 @@ def test_dynamic_growth_accounting():
     assert not any(m.overflow for m in run.steps)
 
 
+@pytest.mark.slow
 def test_dynamic_suspension_exactness():
     """spawn_depth=1 forces constant suspend/resume cycling; physics must
     STILL match the oracle exactly (no child ever dropped)."""
@@ -53,6 +55,7 @@ def test_dynamic_suspension_exactness():
     )
 
 
+@pytest.mark.slow
 def test_dynamic_nonaligned_capacity():
     """Capacity not a multiple of the tile size exercises the padding path."""
     cfg = CFG.replace(capacity=5000, init_n=200, poisson_steps=1)
@@ -64,6 +67,7 @@ def test_dynamic_nonaligned_capacity():
     )
 
 
+@pytest.mark.slow
 def test_dynamic_windowed_append_paths():
     """Small append_window exercises the fast (windowed) path and, with a
     tiny window, the compiled fallback; both must match the oracle."""

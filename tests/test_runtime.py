@@ -228,6 +228,12 @@ def test_cli_scheduler_path_uses_capacity_ladder(monkeypatch, capsys):
         sorted_particle_array(base.state), sorted_particle_array(bucketed.state)
     )
 
+    # bucket=0 must dispatch with auto_bucket=False; stub the run out (a
+    # literal full-capacity 5e6 execution takes minutes on this CPU)
+    monkeypatch.setattr(
+        rt, "run_pic",
+        lambda cfg, **kw: captured.update(kwargs=kw) or base,
+    )
     assert cli.main(list(args) + ["bucket=0"]) == 0
     assert captured["kwargs"]["auto_bucket"] is False
     capsys.readouterr()  # swallow CLI prints

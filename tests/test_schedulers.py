@@ -57,6 +57,7 @@ def test_deterministic_across_runs():
     )
 
 
+@pytest.mark.slow
 def test_push_counts_identical_across_cadences():
     """Every cadence executes the exact same multiset of particle-steps, so
     the engines' counted pushes must agree exactly."""

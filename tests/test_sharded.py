@@ -149,6 +149,7 @@ def test_slab_grid_mode_rejects_bad_config(mesh):
         sharded_poisson_step(mesh, cfg)
 
 
+@pytest.mark.slow
 def test_sharded_dynamic_engine(mesh):
     """The fused Pallas engine runs per-shard under shard_map and matches
     the naive cadence's global population history."""

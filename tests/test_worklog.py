@@ -48,9 +48,18 @@ BASE = SimConfig(
     "cfg",
     [
         BASE.replace(spawn_depth=2),
-        BASE.replace(spawn_depth=1),          # forces suspend -> relocate
-        BASE.replace(kernel_sublanes=16, poisson_timestep=9),
-        BASE.replace(init_n=97, capacity=2048, worklog_rows=16),
+        # interpret-mode runs cost ~45-55 s each on this 1-CPU box; the
+        # d2 case is the default-suite representative, the rest are the
+        # full matrix (pytest -m slow)
+        pytest.param(BASE.replace(spawn_depth=1), marks=pytest.mark.slow),
+        pytest.param(
+            BASE.replace(kernel_sublanes=16, poisson_timestep=9),
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            BASE.replace(init_n=97, capacity=2048, worklog_rows=16),
+            marks=pytest.mark.slow,
+        ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log"],
 )
@@ -87,6 +96,7 @@ def test_worklog_output_is_compacted(const_table):
     assert (status[n:] == 0).all()
 
 
+@pytest.mark.slow
 def test_worklog_overflow_flag(const_table):
     """Growth beyond capacity must flag overflow (children still counted:
     reference drop-but-count semantics, src/pic.cu:127-131,543-545)."""
