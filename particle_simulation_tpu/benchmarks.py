@@ -146,11 +146,21 @@ def run_benchmark(
         if time_budget_s and time.perf_counter() - t_start > time_budget_s:
             print(f"time budget {time_budget_s}s reached — sweep truncated")
             break
+        # Long non-worklog runs at avalanche T crash the TPU worker
+        # intermittently (observed r2/r3: naive T>=300, dynamic_old T=500,
+        # sync T=20 once; never the worklog engine, whose dispatches are
+        # short).  The correlate is single-dispatch runtime, so the
+        # crash-prone tails run 1 Poisson step per dispatch instead of 2.
+        chunk = 1 if (
+            cfg.scheduler != "dynamic" and cfg.poisson_timestep >= 300
+        ) else 2
         # warm: compile + enter the churn regime once per scheduler (T is a
         # traced scalar, so the compilation is shared across all T points)
         if cfg.scheduler not in warmed:
             # full warm run: compiles every chunk size the real runs use
-            warm = run_pic_device(cfg, w_start=hints.get(cfg.scheduler, 0))
+            warm = run_pic_device(
+                cfg, chunk_steps=chunk, w_start=hints.get(cfg.scheduler, 0)
+            )
             warm.state = None
             hints[cfg.scheduler] = max(
                 hints.get(cfg.scheduler, 0), warm.last_bucket
@@ -165,7 +175,9 @@ def run_benchmark(
         for rep in range(reps):
             for attempt in range(2):
                 t0 = time.perf_counter()
-                run = run_pic_device(cfg, w_start=hints.get(cfg.scheduler, 0))
+                run = run_pic_device(
+                    cfg, chunk_steps=chunk, w_start=hints.get(cfg.scheduler, 0)
+                )
                 wall = time.perf_counter() - t0
                 run.state = None  # 2.4 GB of HBM per held state at canonical cap
                 hints[cfg.scheduler] = max(
