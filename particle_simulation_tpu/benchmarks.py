@@ -152,7 +152,8 @@ def run_benchmark(
         # short).  The correlate is single-dispatch runtime, so the
         # crash-prone tails run 1 Poisson step per dispatch instead of 2.
         chunk = 1 if (
-            cfg.scheduler != "dynamic" and cfg.poisson_timestep >= 300
+            cfg.scheduler == "sync"  # T=20 2-step dispatch faults 3-for-3
+            or (cfg.scheduler != "dynamic" and cfg.poisson_timestep >= 300)
         ) else 2
         # warm: compile + enter the churn regime once per scheduler (T is a
         # traced scalar, so the compilation is shared across all T points)
