@@ -206,7 +206,7 @@ def live_bbox(idx, weight, grid_size):
     return lo, hi
 
 
-def _mxu_histogram(flat, num_cells, tile_p=512):
+def _mxu_histogram(flat, num_cells, tile_p=1024):
     """Histogram of ``flat`` ids (invalid entries = -1) over [0, num_cells),
     num_cells a multiple of 128, via per-tile one-hot matmuls.
 
@@ -294,7 +294,7 @@ def _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight):
 
 
 def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
-                            subgrid=64, tile_p=512):
+                            subgrid=64, tile_p=1024):
     """Full field phase (deposit + stencil + gather) on a bbox subgrid when
     the live population fits an S^3 window; falls back to the full-grid
     scatter + packdiff path (bit-identical values) otherwise.
