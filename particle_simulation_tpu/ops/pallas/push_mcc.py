@@ -172,7 +172,21 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
     """
     from ...cross_section import energy_to_index
 
-    def lookup(split_ref, remove_ref, aux_ref, energy, u, bits, band=None):
+    def prepare_static(aux_ref, shape):
+        """Hoistable prep for the static* threshold modes: the static-unroll
+        chunk rows broadcast to the tile shape.  The rows are loop-INVARIANT
+        across the mobility T-loop, but when the broadcast lives inside the
+        lookup each visit re-materializes it — S/8 vreg writes per visit per
+        step (~1/3 of the visit's op count at S=128).  Callers build this
+        ONCE before the T-loop and pass it via ``lookup(..., prep=...)``."""
+        K = min(static_chunks, n_chunks - 1)
+        return tuple(
+            jnp.broadcast_to(aux_ref[c, :][None, :], shape)
+            for c in range(K + 1)
+        )
+
+    def lookup(split_ref, remove_ref, aux_ref, energy, u, bits, band=None,
+               prep=None):
         shape = energy.shape
         idx = energy_to_index(energy)
         hi = idx // LANES
@@ -220,7 +234,13 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
         if mode in ("threshold", "staticthresh"):
             # ---- coarse pass: ONE i32 gather per chunk (band0 structure) ----
             def th_chunk(c):
-                row = jnp.broadcast_to(aux_ref[c, :][None, :], shape)
+                # static-unroll visits (python-int c) read the pre-broadcast
+                # rows when the caller hoisted them; traced c (the dynamic
+                # tail) always re-broadcasts.
+                if prep is not None and isinstance(c, int) and c < len(prep):
+                    row = prep[c]
+                else:
+                    row = jnp.broadcast_to(aux_ref[c, :][None, :], shape)
                 return jnp.take_along_axis(row, lo, axis=1)
 
             def th_body(c, acc):
@@ -289,6 +309,7 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
         hmax_nz = jnp.max(jnp.where(mask_nz, hi, 1))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
+    lookup.prepare_static = prepare_static
     return lookup
 
 

@@ -377,6 +377,13 @@ def _worklog_kernel(
         a0 = fields0[6:9]
         id0 = fields0[10:12]
         pipeband = config.lookup_mode == "pipeband"
+        # static-unroll chunk rows broadcast ONCE before the T-loop (they
+        # are loop-invariant; in-loop each visit paid S/8 vreg broadcasts)
+        prep = (
+            lookup.prepare_static(aux_ref, (S, LANES))
+            if config.lookup_mode == "staticthresh"
+            else None
+        )
 
         def next_band(p_next, may_act):
             # band over lanes that may be ACTIVE next step (inactive lanes'
@@ -407,6 +414,7 @@ def _worklog_kernel(
             table_lookup = functools.partial(
                 lookup, split_ref, remove_ref, aux_ref,
                 **({"band": (h0, h1)} if pipeband else {}),
+                **({"prep": prep} if prep is not None else {}),
             )
             res = update_particles(
                 p,
