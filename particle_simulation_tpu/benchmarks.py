@@ -123,6 +123,8 @@ def run_benchmark(
     repeat_map: Optional[dict] = None,
     max_t: Optional[dict] = None,
     hints_path: Optional[str] = "out/data/sweep_hints.json",
+    poison_path: Optional[str] = "out/data/sweep_poison.json",
+    poison_limit: int = 3,
 ) -> List[RunData]:
     """Run the sweep, appending each row to ``out_csv`` as it completes.
 
@@ -157,12 +159,23 @@ def run_benchmark(
     # point at the avalanche configs), and every crash-retry process pays
     # the full climb again.
     hints: dict = _load_hints(hints_path) if resume else {}
+    # poison-row ledger: a row's attempt count is bumped BEFORE it runs and
+    # cleared after it records, so a row that keeps crashing the process
+    # (the intermittent TPU worker fault, STATUS.md) is SKIPPED after
+    # ``poison_limit`` tries instead of deadlocking every resumed pass on
+    # the same config (observed: sync T=30 crash-looped 4 attempts).
+    poison: dict = _load_hints(poison_path) if resume else {}
     for cfg in sweep_configs(profile):
         if only_schedulers and cfg.scheduler not in only_schedulers:
             continue
         if max_t and cfg.poisson_timestep > max_t.get(cfg.scheduler, 10**9):
             continue
         if (_FUNC_NAME[cfg.scheduler], cfg.poisson_timestep) in done:
+            continue
+        poison_key = f"{cfg.scheduler}|{cfg.poisson_timestep}"
+        if poison.get(poison_key, 0) >= poison_limit:
+            print(f"skipping poisoned row {poison_key} "
+                  f"({poison[poison_key]} crashed attempts)", flush=True)
             continue
         if time_budget_s and time.perf_counter() - t_start > time_budget_s:
             print(f"time budget {time_budget_s}s reached — sweep truncated")
@@ -202,6 +215,8 @@ def run_benchmark(
         reps = (repeat_map or {}).get(
             (cfg.scheduler, cfg.poisson_timestep), 1
         )
+        poison[poison_key] = poison.get(poison_key, 0) + 1
+        _save_hints(poison_path, poison)
         for rep in range(reps):
             for attempt in range(2):
                 t0 = time.perf_counter()
@@ -239,6 +254,8 @@ def run_benchmark(
             )
             runs.append(run)
             _append_csv(out_csv, run)
+        poison.pop(poison_key, None)
+        _save_hints(poison_path, poison)
     return runs
 
 

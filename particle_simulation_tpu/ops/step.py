@@ -225,6 +225,99 @@ def _poisson_loop_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def _sync_grid_jit(state: SimState, config: SimConfig):
+    return grid_phase(state, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _sync_generation_jit(
+    state: SimState, poisson_index, table, t_steps, gen_lo, lo, hi,
+    config: SimConfig,
+):
+    """One generation of the CPU Sync fixed point: simulate slots in
+    [gen_lo, n_clamped) through mobility steps 1..t_steps.  All loop
+    variables are traced, so ONE compilation serves every generation of
+    every Poisson step at every T."""
+    from ..schedulers import _one_step, _push_add
+
+    gen_hi = state.n_clamped
+
+    def body(t, c):
+        st, l_, h_ = c
+        st, dp = _one_step(st, t, poisson_index, table, config, gen_lo, gen_hi)
+        l_, h_ = _push_add(l_, h_, dp)
+        return st, l_, h_
+
+    state, lo, hi = jax.lax.fori_loop(1, t_steps + 1, body, (state, lo, hi))
+    return state, lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _sync_finalize_jit(state: SimState, n_start, lo, hi, config: SimConfig):
+    overflow = state.n > state.capacity
+    added = state.n_clamped - n_start
+    compacted = population.compact(state)
+    removed = state.n_clamped - compacted.n
+    metrics = {
+        "n": compacted.n,
+        "added": added,
+        "removed": removed,
+        "overflow": overflow,
+        "pushes": lo.astype(jnp.float32)
+        + hi.astype(jnp.float32) * jnp.float32(1 << 30),
+        "pushes_lo": lo,
+        "pushes_hi": hi,
+    }
+    return compacted, metrics
+
+
+def poisson_step_sync_host(
+    state: SimState, poisson_index, table, config: SimConfig
+) -> Tuple[SimState, dict]:
+    """One CPU Sync Poisson step with the generation fixed point run as a
+    HOST loop — one bounded dispatch per generation — instead of the in-jit
+    ``lax.while_loop`` (schedulers.mobility_phase_sync).
+
+    Bit-exact vs the in-jit path: the generation partitioning is identical
+    (gen_lo starts at 0, each generation covers [gen_lo, n_clamped) and
+    advances gen_lo to the previous n_clamped) and physics is a pure
+    function of genealogy (rng.py), so execution order cannot change draws.
+
+    Why it exists: at canonical scale the nested while(fori(...)) sync
+    program deterministically crashes the TPU worker at T >= 20-30
+    (STATUS.md worker-fault notes — observed 3-for-3 at T=20 with 2-step
+    dispatches, 4-for-4 at T=30 with 1-step dispatches), while naive-shaped
+    bounded fori programs at the same buckets survive.  Splitting the fixed
+    point at the host boundary replaces the faulting program with the
+    reliable shape, and is the better TPU design anyway: each dispatch is
+    bounded, so a fault loses one generation, not the whole run.
+
+    Early exit on overflow: children appended past capacity are lost, so the
+    caller must redo the step at a bigger bucket anyway (the exact-retry
+    protocol of runtime._bucketed_step) — we stop dispatching generations as
+    soon as n exceeds capacity and report overflow.
+    """
+    cfg = _step_config(config)
+    t_steps = jnp.asarray(config.poisson_timestep, jnp.int32)
+    state = _sync_grid_jit(state, cfg)
+    n_start = state.n_clamped
+    zero = jnp.zeros((), jnp.int32)
+    lo, hi = zero, zero
+    gen_lo = 0
+    while True:
+        n_live = int(state.n_clamped)
+        n_created = int(state.n)
+        if n_created > state.capacity or n_live <= gen_lo:
+            break
+        state, lo, hi = _sync_generation_jit(
+            state, poisson_index, table, t_steps,
+            jnp.asarray(gen_lo, jnp.int32), lo, hi, cfg,
+        )
+        gen_lo = n_live
+    return _sync_finalize_jit(state, n_start, lo, hi, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def _poisson_step_t(
     state: SimState, poisson_index, table, t_steps, config: SimConfig
 ) -> Tuple[SimState, dict]:

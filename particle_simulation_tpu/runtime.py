@@ -241,6 +241,7 @@ def run_pic_device(
     table: Optional[jnp.ndarray] = None,
     chunk_steps: int = 2,
     w_start: int = 0,
+    sync_host: bool = True,
 ) -> RunData:
     """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
     device-resident chunks (ops/step.poisson_loop) so the per-step host
@@ -252,10 +253,15 @@ def run_pic_device(
     and a chunk whose growth overflows its bucket is redone at the next
     bucket — physics is a pure function of genealogy, so the retry is
     bit-exact (same trick as _bucketed_step)."""
-    from .ops.step import poisson_loop
+    from .ops.step import poisson_loop, poisson_step_sync_host
 
     if table is None:
         table = cross_section.load_table(config.cross_section_path)
+    # CPU Sync runs its generation fixed point as a host loop of bounded
+    # dispatches (``sync_host=False`` restores the in-jit while_loop): the
+    # nested while(fori) sync program deterministically faults the TPU
+    # worker at canonical scale — see poisson_step_sync_host's docstring.
+    use_sync_host = sync_host and config.scheduler == "sync"
     # The state container lives at BUCKET capacity, not config.capacity:
     # after compaction the tail beyond the working prefix is always dead, so
     # merging back into a full-capacity container preserved nothing but
@@ -273,14 +279,22 @@ def run_pic_device(
     # ladder climb costs one DISCARDED run per rung — start each chunk at
     # the last successful bucket instead of re-climbing from n.
     while done < config.poisson_steps:
-        k = min(chunk_steps, config.poisson_steps - done)
+        k = 1 if use_sync_host else min(chunk_steps, config.poisson_steps - done)
         w = max(_bucket_size(int(state.n), config.capacity), w_hint)
         while True:
             state = _pad_state(state, w)
             part = _slice_state(state, w) if w < state.capacity else state
             cfg_w = config.replace(capacity=w)
             t0 = time.perf_counter()
-            final, metrics = poisson_loop(part, table, cfg_w, k, first_index=done)
+            if use_sync_host:
+                final, m1 = poisson_step_sync_host(
+                    part, jnp.uint32(done), table, cfg_w
+                )
+                metrics = {key: jnp.asarray(v)[None] for key, v in m1.items()}
+            else:
+                final, metrics = poisson_loop(
+                    part, table, cfg_w, k, first_index=done
+                )
             final_n = int(final.n)  # forces execution (tunnel-safe readback)
             wall = time.perf_counter() - t0
             if w < config.capacity and bool(jnp.any(metrics["overflow"])):

@@ -162,6 +162,37 @@ def test_device_poisson_loop_matches_host_loop():
     )
 
 
+def test_sync_host_generations_bit_exact():
+    """The host-generation CPU Sync path (poisson_step_sync_host: fixed
+    point as a host loop of bounded dispatches — the worker-fault-proof
+    program shape) must match the in-jit while_loop path exactly, including
+    per-step populations, exact push counts, and forced bucket regrowth."""
+    import numpy as np
+
+    import particle_simulation_tpu.runtime as rt
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import run_pic_device, sorted_particle_array
+
+    cfg = SimConfig(
+        init_n=300, capacity=60_000, poisson_steps=3, poisson_timestep=6,
+        grid_size=(32, 32, 32), scheduler="sync",
+        cross_section_path=bundled_paths()[1],  # heavy churn -> growth
+    )
+    orig = rt._bucket_size
+    rt._bucket_size = lambda n, capacity, floor=512: orig(n, capacity, floor)
+    try:
+        injit = run_pic_device(cfg, sync_host=False)
+        host = run_pic_device(cfg, sync_host=True)
+    finally:
+        rt._bucket_size = orig
+    assert host.final_n == injit.final_n
+    assert [m.n for m in host.steps] == [m.n for m in injit.steps]
+    assert [m.pushes for m in host.steps] == [m.pushes for m in injit.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(injit.state), sorted_particle_array(host.state)
+    )
+
+
 def test_auto_bucket_bit_exact():
     """Bucketed execution (power-of-2 working prefixes + overflow retry)
     must reproduce the full-capacity run exactly, including forced bucket
