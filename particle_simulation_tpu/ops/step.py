@@ -305,8 +305,8 @@ def poisson_step_sync_host(
     lo, hi = zero, zero
     gen_lo = 0
     while True:
-        n_live = int(state.n_clamped)
-        n_created = int(state.n)
+        n_created = int(state.n)  # one tunnel readback per generation
+        n_live = min(n_created, state.capacity)
         if n_created > state.capacity or n_live <= gen_lo:
             break
         state, lo, hi = _sync_generation_jit(
