@@ -252,6 +252,54 @@ def _sync_generation_jit(
     return state, lo, hi
 
 
+@functools.partial(jax.jit, static_argnames=("config", "w"))
+def _sync_generation_slice_jit(
+    state: SimState, poisson_index, table, t_steps, gen_lo, gen_len, lo, hi,
+    config: SimConfig, w: int,
+):
+    """A generation restricted to the TAIL SLICE [gen_lo, gen_lo + w) of the
+    container.  Every particle of generation >= 2 lives in [gen_lo, n) — the
+    children appended by the previous generation — so simulating the whole
+    container again is pure waste: the reference's CPU Sync is O(remaining
+    steps) per particle (src/pic.cu:214-232 simulateMany from start_t), and
+    without slicing the vectorized analog degraded to O(T * container) per
+    generation (measured: sync T=20 at the canonical config cost 170 s vs
+    naive's 6.4 s).  ``w`` is a static ladder bucket (few distinct
+    compilations); children spawn into the slice tail and the caller retries
+    on slice overflow, exactly like the global capacity-ladder protocol.
+    Bit-exact: slot order inside the slice preserves the full-array order,
+    and draws are keyed by genealogy, not slot (rng.py)."""
+    from ..schedulers import _one_step, _push_add
+
+    def sl(a):
+        return jax.lax.dynamic_slice_in_dim(a, gen_lo, w, axis=0)
+
+    sub = SimState(
+        pos=sl(state.pos), vel=sl(state.vel), acc=sl(state.acc),
+        status=sl(state.status), id_hi=sl(state.id_hi), id_lo=sl(state.id_lo),
+        n=state.n - gen_lo,
+    )
+
+    def body(t, c):
+        s, l_, h_ = c
+        s, dp = _one_step(s, t, poisson_index, table, config, 0, gen_len)
+        l_, h_ = _push_add(l_, h_, dp)
+        return s, l_, h_
+
+    sub, lo, hi = jax.lax.fori_loop(1, t_steps + 1, body, (sub, lo, hi))
+
+    def upd(full, part):
+        return jax.lax.dynamic_update_slice_in_dim(full, part, gen_lo, axis=0)
+
+    state = SimState(
+        pos=upd(state.pos, sub.pos), vel=upd(state.vel, sub.vel),
+        acc=upd(state.acc, sub.acc), status=upd(state.status, sub.status),
+        id_hi=upd(state.id_hi, sub.id_hi), id_lo=upd(state.id_lo, sub.id_lo),
+        n=gen_lo + sub.n,
+    )
+    return state, lo, hi
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _sync_finalize_jit(state: SimState, n_start, lo, hi, config: SimConfig):
     overflow = state.n > state.capacity
@@ -297,7 +345,10 @@ def poisson_step_sync_host(
     protocol of runtime._bucketed_step) — we stop dispatching generations as
     soon as n exceeds capacity and report overflow.
     """
+    from ..runtime import _bucket_size
+
     cfg = _step_config(config)
+    C = state.capacity
     t_steps = jnp.asarray(config.poisson_timestep, jnp.int32)
     state = _sync_grid_jit(state, cfg)
     n_start = state.n_clamped
@@ -306,13 +357,36 @@ def poisson_step_sync_host(
     gen_lo = 0
     while True:
         n_created = int(state.n)  # one tunnel readback per generation
-        n_live = min(n_created, state.capacity)
-        if n_created > state.capacity or n_live <= gen_lo:
+        n_live = min(n_created, C)
+        if n_created > C or n_live <= gen_lo:
             break
-        state, lo, hi = _sync_generation_jit(
-            state, poisson_index, table, t_steps,
-            jnp.asarray(gen_lo, jnp.int32), lo, hi, cfg,
-        )
+        gen_len = n_live - gen_lo
+        room = C - gen_lo
+        # generation 1 spans the whole container; later generations run on
+        # a small ladder-bucket tail slice (usually the 64k floor).  A
+        # clamped (non-ladder) bucket would mint a unique compilation per
+        # gen_lo — fall back to the whole-array program instead.
+        w = _bucket_size(gen_len, room) if gen_lo > 0 else C
+        while True:
+            if w >= room:
+                state, lo, hi = _sync_generation_jit(
+                    state, poisson_index, table, t_steps,
+                    jnp.asarray(gen_lo, jnp.int32), lo, hi, cfg,
+                )
+                break
+            st2, lo2, hi2 = _sync_generation_slice_jit(
+                state, poisson_index, table, t_steps,
+                jnp.asarray(gen_lo, jnp.int32),
+                jnp.asarray(gen_len, jnp.int32), lo, hi, cfg, w,
+            )
+            n2 = int(st2.n)
+            if n2 - gen_lo > w:
+                # children overflowed the slice window: exact redo on a
+                # bigger window (or the whole-array fallback if none fits)
+                w = _bucket_size(n2 - gen_lo, room)
+                continue
+            state, lo, hi = st2, lo2, hi2
+            break
         gen_lo = n_live
     return _sync_finalize_jit(state, n_start, lo, hi, cfg)
 
