@@ -24,15 +24,15 @@ from particle_simulation_tpu.benchmarks import run_benchmark
 TOTAL_BUDGET = float(sys.argv[1]) if len(sys.argv) > 1 else 14000.0
 t0 = time.perf_counter()
 
-# (schedulers, max_t per scheduler) — cheapest rows first.
+# (schedulers, max_t per scheduler) — cheapest rows first.  Sync first:
+# with the host-generation path (runtime.run_pic_device sync_host) its rows
+# cost ~3x naive's low-T rows and no longer crash the worker.
 PASSES = [
-    (["sync"], {"sync": 40}),
-    (["naive"], {"naive": 500}),
-    (["dynamic_old"], {"dynamic_old": 700}),
-    (["sync"], {"sync": 70}),
-    (["naive"], {"naive": 700}),
-    (["dynamic_old"], {"dynamic_old": 1000}),
     (["sync"], {"sync": 100}),
+    (["dynamic_old"], {"dynamic_old": 700}),
+    (["naive"], {"naive": 500}),
+    (["dynamic_old"], {"dynamic_old": 1000}),
+    (["naive"], {"naive": 700}),
     (["naive"], {"naive": 1000}),
 ]
 
