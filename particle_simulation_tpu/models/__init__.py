@@ -1,16 +1,68 @@
 """Physics models of the PIC-MCC simulation.
 
-The reference hardcodes one model of each kind; here they are explicit,
-swappable components:
+The reference hardcodes one model of each kind; here each is an explicit,
+swappable component selected via ``SimConfig``.  The implementations live
+in ``ops/`` (physics.py is shared verbatim between the XLA and Pallas
+engines; grid.py holds the field paths) — this package documents the model
+menu and hosts the one model with its own numerics, the spectral Poisson
+solver (``poisson_fft``).
 
-  * integrator  — how particles move under the frozen per-step field
-                  (models/integrator.py; reference leapfrog,
-                  src/particle_move.cu:22-39)
-  * collisions  — the Monte-Carlo collision model: energy-bucketed
-                  split/absorb table (models/collisions.py; reference
-                  collider + cross_section, src/particle_move.cu:55-80)
-  * field       — charge deposition + electric field approximation
-                  (models/field.py; reference grid_operations.cu)
+Integrators (``SimConfig.integrator``, ops/physics.INTEGRATORS):
+
+* ``leapfrog`` (default) — the reference's kick-drift-kick with its
+  v-minus-a sign convention and frozen per-Poisson-step acceleration
+  (src/particle_move.cu:22-39): drift uses the mid-step velocity.
+* ``boris`` — zero-magnetic-field Boris push: the full velocity kick is
+  applied first (two symmetric half-kicks, no rotation at B=0), then the
+  drift uses the fully-updated velocity.  The standard PIC integrator for
+  magnetized plasmas; with B=0 it differs from leapfrog only in drift
+  phase, making it a genuinely distinct, testable model
+  (tests/test_models.py).
+
+Collision models (``SimConfig.collision_model``):
+
+One uniform draw per particle-step is tested against energy-bucketed
+(split, absorb) chances; energy = |v|^2, log10 bucketing over [1e-6, 1e16)
+into 10000 buckets (reference src/particle_move.cu:55-80,
+src/cross_section.cu).  Tables are data (cross_section.py); the TPU
+engines keep them VMEM-resident.  On ionization the models differ in how
+momentum is distributed:
+
+* ``reverse`` (default) — the reference's model: the child is a copy of
+  the post-push parent and the parent's velocity reverses
+  (src/particle_move.cu:62-74).
+* ``isotropic`` — the child is emitted isotropically at the parent's
+  speed (direction drawn deterministically from the child's own genealogy
+  id bits), the parent keeps its velocity — the common textbook MCC
+  secondary model.  All DECISIONS (splits, deaths, genealogy, counts)
+  stay exact and cadence-independent; the child-velocity floats involve
+  sin/cos whose FMA fusion may differ by ~1 ulp between compiled
+  programs, so cross-engine comparisons of velocity payloads use a tight
+  tolerance rather than bit equality (tests/test_models.py).
+
+Field models (``SimConfig.field_model``):
+
+* ``neighbour`` (default) — the reference's nearest-cell count deposition
+  + (charge[+1] - charge[-1]) * E_const neighbour difference
+  (src/grid_operations.cu); not a true Poisson solve, kept for parity.
+  The f32 production path packs the three integer stencil diffs into one
+  i32 grid and gathers once per particle
+  (ops/grid.gather_acceleration_packdiff, bit-identical and fastest
+  measured); gather_acceleration_packed keeps the (cells, 3) row-gather
+  variant, and the fused per-particle path (gather_acceleration) serves
+  f64 oracle runs.
+* ``fft`` — a true spectral Poisson solve (models/poisson_fft.py), the
+  flagged fidelity upgrade beyond reference parity.
 """
 
-from . import collisions, field, integrator  # noqa: F401
+from ..ops.physics import INTEGRATORS, boris, leapfrog  # noqa: F401
+from ..ops.grid import (  # noqa: F401
+    deposit,
+    gather_acceleration,
+    gather_acceleration_packed,
+    gather_acceleration_packdiff,
+)
+from . import poisson_fft  # noqa: F401
+
+COLLISION_MODELS = ("reverse", "isotropic")
+FIELD_MODELS = ("neighbour", "fft")
