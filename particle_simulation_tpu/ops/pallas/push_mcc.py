@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import SimConfig
 from ...state import SimState
-from ..physics import Particles, update_particles
+from ..physics import Particles, make_kick, update_particles
 from .. import population
 
 LANES = 128
@@ -433,8 +433,19 @@ def _mobility_kernel(
         depth_iota = jax.lax.broadcasted_iota(
             jnp.int32, (config.spawn_depth, SUBLANES, LANES), 0
         )
-        for r in child_refs:
-            r[:, :, :] = jnp.zeros(r.shape, r.dtype)
+        # acc is frozen across the phase and a child's acc equals its
+        # parent lane's: prefill those stage planes once (skipped in the
+        # per-step staging loop; emission validity is the staged status,
+        # so non-spawn lanes' prefilled values are never read)
+        acc_names = ("ax", "ay", "az")
+        for name, r in zip(FIELD_NAMES, child_refs):
+            if name in acc_names:
+                f = FIELD_NAMES.index(name)
+                r[:, :, :] = jnp.broadcast_to(
+                    in_refs[f][:, :].astype(r.dtype)[None], r.shape
+                )
+            else:
+                r[:, :, :] = jnp.zeros(r.shape, r.dtype)
 
         suspended0 = _is_suspended(status0)
         stamp0 = jnp.where(suspended0, _suspended_stamp(status0), status0)
@@ -448,6 +459,14 @@ def _mobility_kernel(
             ),
         )
         tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
+
+        # velocity-kick products are loop constants (acc never mutates)
+        kick0 = make_kick(
+            config.integrator,
+            tuple(in_refs[6 + i][:, :] for i in range(3)),
+            config.mobility_dt,
+            in_refs[3].dtype,
+        )
 
         def step_work(t, carry):
             *fields, depth, susp, susp_t, pushes = carry
@@ -474,12 +493,15 @@ def _mobility_kernel(
                 integrator=config.integrator,
                 collision_model=config.collision_model,
                 table_lookup=functools.partial(lookup, split_ref, remove_ref, None),
+                kick=kick0,
             )
             # active lanes always have depth < spawn_depth (suspension
             # pre-empts), so no child is ever dropped.
             sel = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child
             for name, r in zip(FIELD_NAMES, child_refs):
+                if name in acc_names:  # prefilled above (loop-invariant)
+                    continue
                 val = getattr(child, name).astype(r.dtype)
                 r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
             depth = depth + res.spawn.astype(jnp.int32)

@@ -51,7 +51,13 @@ from ...config import SimConfig
 from ...constants import STATUS_ALIVE
 from ...cross_section import energy_to_index
 from ...state import SimState
-from ..physics import INTEGRATORS, Particles, collision_energy, update_particles
+from ..physics import (
+    INTEGRATORS,
+    Particles,
+    collision_energy,
+    make_kick,
+    update_particles,
+)
 from .. import population
 from .push_mcc import (
     FIELD_NAMES,
@@ -357,9 +363,20 @@ def _worklog_kernel(
         tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
 
         depth_iota = jax.lax.broadcasted_iota(jnp.int32, (D, S, LANES), 0)
-        for f in range(NF):
+        # acceleration is frozen for the whole mobility phase and a child's
+        # acc equals its parent lane's, so the acc stage planes are
+        # PREFILLED here and skipped in the per-step staging loop (the
+        # emission's validity mask is the staged status, so non-spawn
+        # lanes' prefilled values are never read)
+        acc_names = ("ax", "ay", "az")
+        for f, name in enumerate(FIELD_NAMES):
+            plane = (
+                _from_typed(fields0[f])
+                if name in acc_names
+                else jnp.zeros((S, LANES), jnp.int32)
+            )
             for d in range(D):
-                stage_ref[f * D + d, :, :] = jnp.zeros((S, LANES), jnp.int32)
+                stage_ref[f * D + d, :, :] = plane
 
         # Scalar-sync-free T-loop (the per-step vector->scalar reductions and
         # dynamic loop bounds cost ~4.7 us/tile-step — 3x the band sweep):
@@ -383,6 +400,10 @@ def _worklog_kernel(
             lookup.prepare_static(aux_ref, (S, LANES))
             if config.lookup_mode == "staticthresh"
             else None
+        )
+        # the velocity-kick products a*dt/2 are loop constants too
+        kick0 = make_kick(
+            config.integrator, a0, config.mobility_dt, a0[0].dtype
         )
 
         def next_band(p_next, may_act):
@@ -430,10 +451,13 @@ def _worklog_kernel(
                 integrator=config.integrator,
                 collision_model=config.collision_model,
                 table_lookup=table_lookup,
+                kick=kick0,
             )
             sel3 = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child
             for f, name in enumerate(FIELD_NAMES):
+                if name in acc_names:  # prefilled above (loop-invariant)
+                    continue
                 val = _from_typed(getattr(child, name).astype(_field_dtype(name)))
                 for d in range(D):
                     stage_ref[f * D + d, :, :] = jnp.where(

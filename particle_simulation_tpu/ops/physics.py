@@ -49,24 +49,25 @@ class StepResult(NamedTuple):
     child: Particles         # child fields (only valid where `spawn`)
 
 
-def leapfrog(p: Particles, dt) -> Particles:
+def leapfrog(p: Particles, dt, kick=None) -> Particles:
     fdt = p.vx.dtype
     dt = jnp.asarray(dt, fdt)
-    half = dt / 2
-    ax, ay, az = (p.ax.astype(fdt), p.ay.astype(fdt), p.az.astype(fdt))
-    vx = p.vx - ax * half
-    vy = p.vy - ay * half
-    vz = p.vz - az * half
+    if kick is None:
+        kick = make_kick("leapfrog", (p.ax, p.ay, p.az), dt, fdt)
+    kx, ky, kz = kick
+    vx = p.vx - kx
+    vy = p.vy - ky
+    vz = p.vz - kz
     px = p.px + vx * dt
     py = p.py + vy * dt
     pz = p.pz + vz * dt
-    vx = vx - ax * half
-    vy = vy - ay * half
-    vz = vz - az * half
+    vx = vx - kx
+    vy = vy - ky
+    vz = vz - kz
     return p._replace(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz)
 
 
-def boris(p: Particles, dt) -> Particles:
+def boris(p: Particles, dt, kick=None) -> Particles:
     """Boris push with zero magnetic field: full velocity kick first (two
     symmetric half-kicks with no rotation between them), then drift with the
     NEW velocity.  Distinct from the reference's leapfrog, which drifts with
@@ -74,10 +75,11 @@ def boris(p: Particles, dt) -> Particles:
     (v minus a*dt).  Selectable via SimConfig.integrator = 'boris'."""
     fdt = p.vx.dtype
     dt = jnp.asarray(dt, fdt)
-    ax, ay, az = (p.ax.astype(fdt), p.ay.astype(fdt), p.az.astype(fdt))
-    vx = p.vx - ax * dt
-    vy = p.vy - ay * dt
-    vz = p.vz - az * dt
+    if kick is None:
+        kick = make_kick("boris", (p.ax, p.ay, p.az), dt, fdt)
+    vx = p.vx - kick[0]
+    vy = p.vy - kick[1]
+    vz = p.vz - kick[2]
     px = p.px + vx * dt
     py = p.py + vy * dt
     pz = p.pz + vz * dt
@@ -85,6 +87,20 @@ def boris(p: Particles, dt) -> Particles:
 
 
 INTEGRATORS = {"leapfrog": leapfrog, "boris": boris}
+
+
+def make_kick(integrator: str, acc, dt, fdt):
+    """Precompute the integrator's velocity-kick terms from the (frozen)
+    acceleration: a*dt/2 per leapfrog half-kick, a*dt for boris.
+
+    The acceleration never changes inside a mobility phase, so these
+    products are loop constants; the fused kernels compute them ONCE before
+    the T-loop (the loop body is VMEM-bandwidth-bound — see worklog.py) and
+    pass them via ``update_particles(kick=...)``.  The expression matches
+    the in-place computation op for op, so hoisting is bit-exact."""
+    dt = jnp.asarray(dt, fdt)
+    scale = dt / 2 if integrator == "leapfrog" else dt
+    return tuple(a.astype(fdt) * scale for a in acc)
 
 
 def out_of_bounds(p: Particles, sim_size) -> jnp.ndarray:
@@ -115,6 +131,7 @@ def update_particles(
     rng_rounds: int = 20,
     integrator: str = "leapfrog",
     collision_model: str = "reverse",
+    kick=None,
 ) -> StepResult:
     """One mobility step for every lane; inactive lanes pass through.
 
@@ -130,7 +147,7 @@ def update_particles(
     (SimConfig.integrator / .collision_model), shared by every engine so
     cadence equivalence holds for any choice.
     """
-    moved = INTEGRATORS[integrator](p, dt)
+    moved = INTEGRATORS[integrator](p, dt, kick)
     oob = out_of_bounds(moved, sim_size)
 
     u, child_hi, child_lo = rng.step_draws(
@@ -182,13 +199,18 @@ def update_particles(
     else:
         raise ValueError(f"unknown collision model {collision_model!r}")
 
+    # Child fields are only meaningful on ``spawn`` lanes: every consumer
+    # (stage-by-depth selection in the fused kernels, compaction-gather in
+    # population.append_children) selects by the spawn mask, so non-spawn
+    # lanes carry unmasked per-step values here instead of paying three
+    # (S, L) selects per mobility step in the VMEM-bandwidth-bound T-loop.
     child = moved._replace(
         vx=child_v[0],
         vy=child_v[1],
         vz=child_v[2],
-        status=jnp.where(splits, t_i32, 0).astype(jnp.int32),
-        id_hi=jnp.where(splits, child_hi, 0),
-        id_lo=jnp.where(splits, child_lo, 0),
+        status=jnp.broadcast_to(t_i32, splits.shape),
+        id_hi=child_hi,
+        id_lo=child_lo,
     )
 
     # Parent: position/velocity advance where active; velocity flips on split
