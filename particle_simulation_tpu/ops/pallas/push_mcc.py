@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ... import rng
 from ...config import SimConfig
 from ...state import SimState
 from ..physics import Particles, make_kick, update_particles
@@ -433,18 +434,21 @@ def _mobility_kernel(
         depth_iota = jax.lax.broadcasted_iota(
             jnp.int32, (config.spawn_depth, SUBLANES, LANES), 0
         )
-        # acc is frozen across the phase and a child's acc equals its
-        # parent lane's: prefill those stage planes once (skipped in the
-        # per-step staging loop; emission validity is the staged status,
-        # so non-spawn lanes' prefilled values are never read)
-        acc_names = ("ax", "ay", "az")
+        # Two field groups never enter the per-step staging loop (child
+        # validity is the staged status, so non-spawn lanes' values are
+        # never read):
+        #   * acc is frozen across the phase and a child's acc equals its
+        #     parent lane's — prefilled once here;
+        #   * child genealogy ids are a pure function of the lane's parent
+        #     id and the staged spawn step — reconstructed after the loop.
+        unstaged = ("ax", "ay", "az", "id_hi", "id_lo")
         for name, r in zip(FIELD_NAMES, child_refs):
-            if name in acc_names:
+            if name in ("ax", "ay", "az"):
                 f = FIELD_NAMES.index(name)
                 r[:, :, :] = jnp.broadcast_to(
                     in_refs[f][:, :].astype(r.dtype)[None], r.shape
                 )
-            else:
+            elif name not in unstaged:
                 r[:, :, :] = jnp.zeros(r.shape, r.dtype)
 
         suspended0 = _is_suspended(status0)
@@ -500,7 +504,7 @@ def _mobility_kernel(
             sel = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child
             for name, r in zip(FIELD_NAMES, child_refs):
-                if name in acc_names:  # prefilled above (loop-invariant)
+                if name in unstaged:  # prefilled / reconstructed post-loop
                     continue
                 val = getattr(child, name).astype(r.dtype)
                 r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
@@ -539,6 +543,18 @@ def _mobility_kernel(
         fields = final[:n_f]
         depth, susp, susp_t, tile_pushes = final[n_f:]
         stamp = fields[9]
+
+        # Reconstruct the child id planes from (parent id, staged spawn
+        # step): the same cipher call physics made at the spawn step, so
+        # the values are bit-identical to per-step staging.
+        for d in range(config.spawn_depth):
+            t_d = child_refs[9][d, :, :]
+            _, c_hi, c_lo = rng.step_draws(
+                config.seed, in_refs[10][:, :], in_refs[11][:, :], p_step,
+                t_d.astype(jnp.uint32), rounds=config.rng_rounds,
+            )
+            child_refs[10][d, :, :] = c_hi
+            child_refs[11][d, :, :] = c_lo
         lo = pushes_ref[0] + tile_pushes
         pushes_ref[0] = lo & ((1 << 30) - 1)
         pushes_ref[1] = pushes_ref[1] + (lo >> 30)

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ... import rng
 from ...config import SimConfig
 from ...constants import STATUS_ALIVE
 from ...cross_section import energy_to_index
@@ -363,16 +364,21 @@ def _worklog_kernel(
         tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
 
         depth_iota = jax.lax.broadcasted_iota(jnp.int32, (D, S, LANES), 0)
-        # acceleration is frozen for the whole mobility phase and a child's
-        # acc equals its parent lane's, so the acc stage planes are
-        # PREFILLED here and skipped in the per-step staging loop (the
-        # emission's validity mask is the staged status, so non-spawn
-        # lanes' prefilled values are never read)
-        acc_names = ("ax", "ay", "az")
+        # Two whole field groups never enter the per-step staging loop:
+        #   * acceleration is frozen for the whole mobility phase and a
+        #     child's acc equals its parent lane's — PREFILLED here;
+        #   * child genealogy ids are a pure function of the lane's
+        #     (loop-constant) parent id and the staged spawn step —
+        #     RECONSTRUCTED once after the T-loop (below).
+        # The emission's validity mask is the staged status, so non-spawn
+        # lanes' prefilled/reconstructed values are never read.
+        unstaged = ("ax", "ay", "az", "id_hi", "id_lo")
         for f, name in enumerate(FIELD_NAMES):
+            if name in ("id_hi", "id_lo"):
+                continue  # fully overwritten post-loop
             plane = (
                 _from_typed(fields0[f])
-                if name in acc_names
+                if name in ("ax", "ay", "az")
                 else jnp.zeros((S, LANES), jnp.int32)
             )
             for d in range(D):
@@ -456,7 +462,7 @@ def _worklog_kernel(
             sel3 = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child
             for f, name in enumerate(FIELD_NAMES):
-                if name in acc_names:  # prefilled above (loop-invariant)
+                if name in unstaged:  # prefilled / reconstructed post-loop
                     continue
                 val = _from_typed(getattr(child, name).astype(_field_dtype(name)))
                 for d in range(D):
@@ -511,6 +517,21 @@ def _worklog_kernel(
             tile_spawns = tile_spawns + jnp.sum(
                 (stage_ref[9 * D + d, :, :] > 0).astype(jnp.int32)
             )
+
+        # Reconstruct the child id stage planes from (parent id, staged
+        # spawn step): rng.step_draws is the same cipher call physics made
+        # at the spawn step, so the values are bit-identical to what
+        # per-step staging produced — at the cost of D cipher evaluations
+        # per tile instead of 2 fields x D (S, L) select+RMWs per T-step.
+        f_hi, f_lo = FIELD_NAMES.index("id_hi"), FIELD_NAMES.index("id_lo")
+        for d in range(D):
+            t_d = stage_ref[9 * D + d, :, :]
+            _, c_hi, c_lo = rng.step_draws(
+                config.seed, id0[0], id0[1], p_step,
+                t_d.astype(jnp.uint32), rounds=config.rng_rounds,
+            )
+            stage_ref[f_hi * D + d, :, :] = _from_typed(c_hi)
+            stage_ref[f_lo * D + d, :, :] = _from_typed(c_lo)
 
         live_end = population.is_live(stamp)
         finished = unf0 & live_end & (susp == 0)
