@@ -6,8 +6,11 @@ Protocol (BASELINE.md north star: >= 1e9 pushes/sec/chip):
     engine;
   * runs on the smallest capacity-ladder working prefix that holds the
     population (runtime._bucket_size) — the same bucketing the production
-    runtime uses; an overflow (never at this config's churn balance) redoes
-    the measurement one bucket up, so physics is exact;
+    runtime uses; an overflow redoes the measurement one bucket up (the
+    mid-phase avalanche at this config overflows the first ladder buckets,
+    so the climb settles at the full 2M container, where reference
+    capacity semantics apply: children beyond the container are dropped
+    and counted, src/pic.cu:544);
   * one 3-step device-resident warmup loop (compile + reach the
     collision-churn regime), then N_WINDOWS timed 3-step loops, each a
     single device dispatch; the REPORTED number is the best (max pushes/s)

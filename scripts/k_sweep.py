@@ -44,35 +44,46 @@ base = SimConfig(
 table = load_table()
 
 rows = []
+w = _bucket_size(base.init_n, base.capacity)
 for k in KS:
     config = base.replace(lookup_static_chunks=k)
-    w = _bucket_size(config.init_n, config.capacity)
-    full_state = setup_particles(config)
-    state = _slice_state(full_state, w) if w < config.capacity else full_state
-    cfg_w = config.replace(capacity=w)
+    # bench.py's exact-retry climb: the avalanche overflows the first
+    # ladder buckets at this config, so redo one bucket up until clean
+    # (at w == capacity, reference capacity semantics apply: children
+    # beyond the container are dropped with the overflow flag set, as in
+    # src/pic.cu:544 — identical across K, so the A/B stays fair).
+    while True:
+        full_state = setup_particles(config)
+        state = _slice_state(full_state, w) if w < config.capacity else full_state
+        cfg_w = config.replace(capacity=w)
 
-    t0 = time.perf_counter()
-    state, m0 = poisson_loop(state, table, cfg_w, WARM_STEPS, first_index=0)
-    _ = int(state.n)
-    warm_s = time.perf_counter() - t0
-
-    best = (0.0, 0.0)
-    idx = WARM_STEPS
-    for _ in range(N_WINDOWS):
         t0 = time.perf_counter()
-        state, metrics = poisson_loop(
-            state, table, cfg_w, TIMED_STEPS, first_index=idx
-        )
+        state, m0 = poisson_loop(state, table, cfg_w, WARM_STEPS, first_index=0)
         _ = int(state.n)
-        elapsed = time.perf_counter() - t0
-        idx += TIMED_STEPS
-        lo = [int(x) for x in metrics["pushes_lo"]]
-        hi = [int(x) for x in metrics["pushes_hi"]]
-        pushes = float(sum(l + (h << 30) for l, h in zip(lo, hi)))
-        rate = pushes / elapsed
-        if rate > best[1]:
-            best = (elapsed, rate)
-        assert not bool(jnp.any(metrics["overflow"]))
+        warm_s = time.perf_counter() - t0
+
+        best = (0.0, 0.0)
+        overflow = bool(jnp.any(m0["overflow"]))
+        idx = WARM_STEPS
+        for _ in range(N_WINDOWS):
+            t0 = time.perf_counter()
+            state, metrics = poisson_loop(
+                state, table, cfg_w, TIMED_STEPS, first_index=idx
+            )
+            _ = int(state.n)
+            elapsed = time.perf_counter() - t0
+            idx += TIMED_STEPS
+            lo = [int(x) for x in metrics["pushes_lo"]]
+            hi = [int(x) for x in metrics["pushes_hi"]]
+            pushes = float(sum(l + (h << 30) for l, h in zip(lo, hi)))
+            rate = pushes / elapsed
+            if rate > best[1]:
+                best = (elapsed, rate)
+            overflow = overflow or bool(jnp.any(metrics["overflow"]))
+        if w < config.capacity and overflow:
+            w = _bucket_size(w + 1, config.capacity)
+            continue
+        break
     rows.append((k, best[0], best[1]))
     print(f"K={k}: warm {warm_s:.1f}s best window {best[0]:.3f}s "
           f"-> {best[1]:.4g} pushes/s", flush=True)
