@@ -189,6 +189,16 @@ def run_benchmark(
             cfg.scheduler == "sync"  # T=20 2-step dispatch faults 3-for-3
             or (cfg.scheduler != "dynamic" and cfg.poisson_timestep >= 300)
         ) else 2
+        # 1-step dispatches were not enough for the naive tails — a whole
+        # T>=400 phase is still one multi-minute dispatch and faulted the
+        # worker 3-for-3 (poison-listed in r3) — so those rows also split
+        # the T-loop itself into bounded ~100-step dispatches (bit-exact,
+        # ops/step.poisson_step_naive_host).
+        nchunk = (
+            100
+            if cfg.scheduler == "naive" and cfg.poisson_timestep >= 300
+            else 0
+        )
         # warm: compile + enter the churn regime once per scheduler (T is a
         # traced scalar, so the compilation is shared across all T points)
         if cfg.scheduler not in warmed:
@@ -202,6 +212,7 @@ def run_benchmark(
                 cfg.replace(poisson_timestep=10),
                 chunk_steps=chunk,
                 w_start=hints.get(cfg.scheduler, 0),
+                naive_chunk=nchunk,
             )
             warm.state = None
             hints[cfg.scheduler] = max(
@@ -221,7 +232,9 @@ def run_benchmark(
             for attempt in range(2):
                 t0 = time.perf_counter()
                 run = run_pic_device(
-                    cfg, chunk_steps=chunk, w_start=hints.get(cfg.scheduler, 0)
+                    cfg, chunk_steps=chunk,
+                    w_start=hints.get(cfg.scheduler, 0),
+                    naive_chunk=nchunk,
                 )
                 wall = time.perf_counter() - t0
                 run.state = None  # 2.4 GB of HBM per held state at canonical cap

@@ -301,6 +301,60 @@ def _sync_generation_slice_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def _naive_span_jit(
+    state: SimState, poisson_index, table, t_lo, t_hi, lo, hi,
+    config: SimConfig,
+):
+    """Naive-cadence mobility steps t in [t_lo, t_hi) over all live slots,
+    as ONE bounded dispatch.  Both bounds are traced, so a single
+    compilation serves every chunk of every T."""
+    from ..schedulers import _one_step, _push_add
+
+    def body(t, c):
+        st, l_, h_ = c
+        st, dp = _one_step(st, t, poisson_index, table, config, 0, st.n_clamped)
+        l_, h_ = _push_add(l_, h_, dp)
+        return st, l_, h_
+
+    return jax.lax.fori_loop(t_lo, t_hi, body, (state, lo, hi))
+
+
+def poisson_step_naive_host(
+    state: SimState, poisson_index, table, config: SimConfig, t_chunk: int
+) -> Tuple[SimState, dict]:
+    """One Naive Poisson step with the mobility T-loop split into host-side
+    chunks of ``t_chunk`` steps — one bounded dispatch per chunk — instead
+    of the whole phase inside a single dispatch (mobility_phase_naive).
+
+    Bit-exact vs the in-jit path: the chunks partition the same fori_loop
+    iteration range and physics is a pure function of genealogy (rng.py).
+
+    Why it exists: the intermittent TPU worker fault's incidence grows with
+    single-dispatch runtime (STATUS.md) — at the canonical 512^3 config a
+    whole naive T>=400 phase is a multi-minute dispatch and crashed 3-for-3
+    (poison-listed naive 400/500), while the worklog engine's short
+    dispatches have never faulted.  Chunking bounds each dispatch to
+    ``t_chunk`` mobility steps, mirroring poisson_step_sync_host's fix for
+    the sync fixed point."""
+    cfg = _step_config(config)
+    T = int(config.poisson_timestep)
+    state = _sync_grid_jit(state, cfg)
+    n_start = state.n_clamped
+    zero = jnp.zeros((), jnp.int32)
+    lo, hi = zero, zero
+    for t0 in range(1, T + 1, t_chunk):
+        t1 = min(t0 + t_chunk, T + 1)
+        state, lo, hi = _naive_span_jit(
+            state, poisson_index, table,
+            jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+            lo, hi, cfg,
+        )
+        if int(state.n) > state.capacity:
+            break  # overflow: the caller redoes at a bigger bucket anyway
+    return _sync_finalize_jit(state, n_start, lo, hi, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def _sync_finalize_jit(state: SimState, n_start, lo, hi, config: SimConfig):
     overflow = state.n > state.capacity
     added = state.n_clamped - n_start

@@ -242,6 +242,7 @@ def run_pic_device(
     chunk_steps: int = 2,
     w_start: int = 0,
     sync_host: bool = True,
+    naive_chunk: int = 0,
 ) -> RunData:
     """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
     device-resident chunks (ops/step.poisson_loop) so the per-step host
@@ -253,7 +254,11 @@ def run_pic_device(
     and a chunk whose growth overflows its bucket is redone at the next
     bucket — physics is a pure function of genealogy, so the retry is
     bit-exact (same trick as _bucketed_step)."""
-    from .ops.step import poisson_loop, poisson_step_sync_host
+    from .ops.step import (
+        poisson_loop,
+        poisson_step_naive_host,
+        poisson_step_sync_host,
+    )
 
     if table is None:
         table = cross_section.load_table(config.cross_section_path)
@@ -262,6 +267,12 @@ def run_pic_device(
     # nested while(fori) sync program deterministically faults the TPU
     # worker at canonical scale — see poisson_step_sync_host's docstring.
     use_sync_host = sync_host and config.scheduler == "sync"
+    # naive_chunk > 0 splits each Naive Poisson step's T-loop into bounded
+    # dispatches of that many mobility steps (bit-exact; see
+    # poisson_step_naive_host) — the workaround that records the
+    # crash-prone canonical naive tails (T >= 400 single-dispatch phases
+    # fault the TPU worker intermittently).
+    use_naive_host = naive_chunk > 0 and config.scheduler == "naive"
     # The state container lives at BUCKET capacity, not config.capacity:
     # after compaction the tail beyond the working prefix is always dead, so
     # merging back into a full-capacity container preserved nothing but
@@ -279,17 +290,26 @@ def run_pic_device(
     # ladder climb costs one DISCARDED run per rung — start each chunk at
     # the last successful bucket instead of re-climbing from n.
     while done < config.poisson_steps:
-        k = 1 if use_sync_host else min(chunk_steps, config.poisson_steps - done)
+        k = (
+            1
+            if (use_sync_host or use_naive_host)
+            else min(chunk_steps, config.poisson_steps - done)
+        )
         w = max(_bucket_size(int(state.n), config.capacity), w_hint)
         while True:
             state = _pad_state(state, w)
             part = _slice_state(state, w) if w < state.capacity else state
             cfg_w = config.replace(capacity=w)
             t0 = time.perf_counter()
-            if use_sync_host:
-                final, m1 = poisson_step_sync_host(
-                    part, jnp.uint32(done), table, cfg_w
-                )
+            if use_sync_host or use_naive_host:
+                if use_sync_host:
+                    final, m1 = poisson_step_sync_host(
+                        part, jnp.uint32(done), table, cfg_w
+                    )
+                else:
+                    final, m1 = poisson_step_naive_host(
+                        part, jnp.uint32(done), table, cfg_w, naive_chunk
+                    )
                 metrics = {key: jnp.asarray(v)[None] for key, v in m1.items()}
             else:
                 final, metrics = poisson_loop(

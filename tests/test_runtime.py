@@ -162,6 +162,32 @@ def test_device_poisson_loop_matches_host_loop():
     )
 
 
+def test_naive_host_chunks_bit_exact():
+    """The chunked-dispatch Naive path (poisson_step_naive_host: the T-loop
+    split into bounded host-side spans — the worker-fault workaround for the
+    canonical naive tails) must match the in-jit fori_loop path exactly,
+    including per-step populations and exact push counts, with a chunk size
+    that does NOT divide T (exercises the short last span)."""
+    import numpy as np
+
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import run_pic_device, sorted_particle_array
+
+    cfg = SimConfig(
+        init_n=300, capacity=60_000, poisson_steps=3, poisson_timestep=7,
+        grid_size=(32, 32, 32), scheduler="naive",
+        cross_section_path=bundled_paths()[1],  # heavy churn -> growth
+    )
+    injit = run_pic_device(cfg, naive_chunk=0)
+    host = run_pic_device(cfg, naive_chunk=3)
+    assert host.final_n == injit.final_n
+    assert [m.n for m in host.steps] == [m.n for m in injit.steps]
+    assert [m.pushes for m in host.steps] == [m.pushes for m in injit.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(injit.state), sorted_particle_array(host.state)
+    )
+
+
 def test_sync_host_generations_bit_exact():
     """The host-generation CPU Sync path (poisson_step_sync_host: fixed
     point as a host loop of bounded dispatches — the worker-fault-proof
