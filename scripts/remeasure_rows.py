@@ -36,9 +36,12 @@ with open(CSV) as f:
 kept = []
 for line in lines:
     parts = line.rstrip("\n").split(",")
-    if len(parts) > 4 and (parts[0], int(float(parts[3]))) in [
-        (n, t) for n, t in targets
-    ]:
+    try:
+        key = (parts[0], int(float(parts[3])))
+    except (ValueError, IndexError):  # header or malformed line
+        kept.append(line)
+        continue
+    if key in targets:
         print(f"dropping: {line.strip()}")
         continue
     kept.append(line)

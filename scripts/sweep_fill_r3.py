@@ -24,12 +24,12 @@ from particle_simulation_tpu.benchmarks import run_benchmark
 TOTAL_BUDGET = float(sys.argv[1]) if len(sys.argv) > 1 else 14000.0
 t0 = time.perf_counter()
 
-# (schedulers, max_t per scheduler) — cheapest rows first.  Sync first:
-# with the host-generation path (runtime.run_pic_device sync_host) its rows
-# cost ~3x naive's low-T rows and no longer crash the worker.
+# (schedulers, max_t per scheduler) — cheapest rows first.  Sync (complete
+# to T=100) and dynamic_old <= 700 already recorded; naive tails now run
+# the chunked-dispatch path (benchmarks.py naive_chunk), which bounds each
+# dispatch to ~100 mobility steps — the whole-phase dispatches faulted the
+# worker 3-for-3 at T >= 400.
 PASSES = [
-    (["sync"], {"sync": 100}),
-    (["dynamic_old"], {"dynamic_old": 700}),
     (["naive"], {"naive": 500}),
     (["dynamic_old"], {"dynamic_old": 1000}),
     (["naive"], {"naive": 700}),
