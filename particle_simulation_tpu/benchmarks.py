@@ -114,16 +114,21 @@ def _save_hints(path: str, hints: dict) -> None:
             json.dump(hints, f)
 
 
+_DEFAULT_CSV = "out/data/mobility_timesteps_nodet.csv"
+_DEFAULT_HINTS = "out/data/sweep_hints.json"
+_DEFAULT_POISON = "out/data/sweep_poison.json"
+
+
 def run_benchmark(
     profile: str = "full",
-    out_csv: str = "out/data/mobility_timesteps_nodet.csv",
+    out_csv: str = _DEFAULT_CSV,
     time_budget_s: Optional[float] = None,
     resume: bool = False,
     only_schedulers: Optional[List[str]] = None,
     repeat_map: Optional[dict] = None,
     max_t: Optional[dict] = None,
-    hints_path: Optional[str] = "out/data/sweep_hints.json",
-    poison_path: Optional[str] = "out/data/sweep_poison.json",
+    hints_path: Optional[str] = _DEFAULT_HINTS,
+    poison_path: Optional[str] = _DEFAULT_POISON,
     poison_limit: int = 3,
 ) -> List[RunData]:
     """Run the sweep, appending each row to ``out_csv`` as it completes.
