@@ -61,7 +61,7 @@ class SimConfig:
     # Work-log engine: rows (of 128 lanes) per ping-pong work log.
     # 0 = auto (half the capacity, at least one tile).
     worklog_rows: int = 0
-    lookup_mode: str = "staticthresh"  # staticthresh|statichybrid|band0|pipeband|threshold|needband|minmax
+    lookup_mode: str = "staticthresh"  # staticthresh|staticguard|statichybrid|band0|pipeband|threshold|needband|minmax
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
     # Physics model selections (models/integrator.py, models/collisions.py):
     # integrator: "leapfrog" (reference parity) | "boris" (zero-B Boris push)

@@ -169,7 +169,18 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
                        (zero-trip when none).  Exact for any energies;
       * ``staticthresh`` — statichybrid over the packed threshold table
                        (one i32 gather per visit, integer decide, exact
-                       rare-lane fallback as in ``threshold``).
+                       rare-lane fallback as in ``threshold``);
+      * ``staticguard`` — staticthresh with every static visit c >= 1
+                       additionally gated on the tile's PER-STEP chunk band
+                       [hmin, hmax] (two vector->scalar reductions, measured
+                       cheap): a ``lax.cond`` skips the visit's gather+select
+                       entirely when no lane occupies chunk c this step.
+                       The probe data shows the live band spans ~5 of the 9
+                       statically unrolled chunks at the bench point, so
+                       ~4 visits' VMEM traffic vanishes.  Values are
+                       identical to staticthresh by construction (skipped
+                       visits could only have written lanes that don't
+                       exist).
     """
     from ...cross_section import energy_to_index
 
@@ -232,7 +243,7 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
                 jnp.maximum(K + 1, hmin_o), hmax_o + 1, body, (sp, rm)
             )
 
-        if mode in ("threshold", "staticthresh"):
+        if mode in ("threshold", "staticthresh", "staticguard"):
             # ---- coarse pass: ONE i32 gather per chunk (band0 structure) ----
             def th_chunk(c):
                 # static-unroll visits (python-int c) read the pre-broadcast
@@ -247,7 +258,30 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
             def th_body(c, acc):
                 return jnp.where(hi == c, th_chunk(c), acc)
 
-            if mode == "staticthresh":
+            if mode == "staticguard":
+                # chunk 0 (E=0 attractor + gated-inactive lanes) always
+                # visited; visits 1..K each skip (gather + select) via a
+                # scalar-guarded cond when no lane occupies the chunk this
+                # step.  Reductions over the per-step band are measured
+                # cheap; the skipped VMEM traffic is not.
+                nzm = hi > 0
+                hmin_g = jnp.min(jnp.where(nzm, hi, n_chunks - 1))
+                hmax_g = jnp.max(jnp.where(nzm, hi, 0))
+                th = jnp.where(hi == 0, th_chunk(0), jnp.zeros(shape, jnp.int32))
+                for c in range(1, K + 1):
+                    th = jax.lax.cond(
+                        (hmin_g <= c) & (c <= hmax_g),
+                        lambda th_, c=c: jnp.where(hi == c, th_chunk(c), th_),
+                        lambda th_: th_,
+                        th,
+                    )
+                over = hi > K
+                hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
+                hmax_o = jnp.max(jnp.where(over, hi, 1))
+                th = jax.lax.fori_loop(
+                    jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th
+                )
+            elif mode == "staticthresh":
                 th = jnp.zeros(shape, jnp.int32)
                 for c in range(K + 1):      # static unroll incl. chunk 0
                     th = jnp.where(hi == c, th_chunk(c), th)
@@ -424,7 +458,8 @@ def _mobility_kernel(
         mode = (
             "band0"
             if config.lookup_mode
-            in ("needband", "threshold", "pipeband", "staticthresh")
+            in ("needband", "threshold", "pipeband", "staticthresh",
+                "staticguard")
             else config.lookup_mode
         )
         lookup = make_chunked_lookup(

@@ -404,7 +404,7 @@ def _worklog_kernel(
         # are loop-invariant; in-loop each visit paid S/8 vreg broadcasts)
         prep = (
             lookup.prepare_static(aux_ref, (S, LANES))
-            if config.lookup_mode == "staticthresh"
+            if config.lookup_mode in ("staticthresh", "staticguard")
             else None
         )
         # the velocity-kick products a*dt/2 are loop constants too
@@ -425,17 +425,18 @@ def _worklog_kernel(
             )
 
         def body(t, carry):
-            px, py, pz, vx, vy, vz, stamp, depth, susp, susp_t, pvec, h0, h1 = carry
+            # susp_t doubles as the suspension flag (0 = not suspended,
+            # >0 = suspended at step susp_t): one carry array, not two
+            px, py, pz, vx, vy, vz, stamp, depth, susp_t, pvec, h0, h1 = carry
             p = Particles(
                 px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                 ax=a0[0], ay=a0[1], az=a0[2],
                 status=stamp, id_hi=id0[0], id_lo=id0[1],
             )
             candidate = (
-                unf0 & population.is_live(stamp) & (t >= start0) & (susp == 0)
+                unf0 & population.is_live(stamp) & (t >= start0) & (susp_t == 0)
             )
             suspend_now = candidate & (depth >= D)
-            susp = susp | suspend_now.astype(jnp.int32)
             susp_t = jnp.where(suspend_now, t, susp_t)
             active = candidate & ~suspend_now
             table_lookup = functools.partial(
@@ -474,12 +475,12 @@ def _worklog_kernel(
             np_ = res.particles
             if pipeband:
                 may_act = (
-                    unf0 & population.is_live(np_.status) & (susp == 0)
+                    unf0 & population.is_live(np_.status) & (susp_t == 0)
                 )
                 h0, h1 = next_band(np_, may_act)
             return (
                 np_.px, np_.py, np_.pz, np_.vx, np_.vy, np_.vz,
-                np_.status, depth, susp, susp_t, pvec, h0, h1,
+                np_.status, depth, susp_t, pvec, h0, h1,
             )
 
         zeros = jnp.zeros((S, LANES), jnp.int32)
@@ -500,8 +501,7 @@ def _worklog_kernel(
             *fields0[0:6],
             stamp0,
             zeros,                     # depth
-            zeros,                     # suspended (i32 0/1)
-            zeros,                     # suspension step
+            zeros,                     # suspension step (0 = not suspended)
             zeros,                     # per-lane push counts
             h0_init,
             h1_init,
@@ -509,7 +509,7 @@ def _worklog_kernel(
 
         t0 = jnp.maximum(tile_first_t, 1)
         final = jax.lax.fori_loop(t0, t_steps + 1, body, init)
-        (px, py, pz, vx, vy, vz, stamp, depth, susp, susp_t, pvec, _h0, _h1) = final
+        (px, py, pz, vx, vy, vz, stamp, depth, susp_t, pvec, _h0, _h1) = final
         fields = (px, py, pz, vx, vy, vz, *a0, stamp, *id0)
         tile_pushes = jnp.sum(pvec, dtype=jnp.int32)
         tile_spawns = jnp.zeros((), jnp.int32)
@@ -534,8 +534,8 @@ def _worklog_kernel(
             stage_ref[f_lo * D + d, :, :] = _from_typed(c_lo)
 
         live_end = population.is_live(stamp)
-        finished = unf0 & live_end & (susp == 0)
-        suspended = unf0 & (susp != 0)
+        finished = unf0 & live_end & (susp_t == 0)
+        suspended = unf0 & (susp_t != 0)
 
         # ---- done stream: finished lanes, status reset to ALIVE ----
         done_vals = []
@@ -616,7 +616,7 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     S, TILE = _tile_dims(config)
     D = config.spawn_depth
     split2d, remove2d, n_chunks = _pad_tables(table)
-    if config.lookup_mode in ("threshold", "staticthresh"):
+    if config.lookup_mode in ("threshold", "staticthresh", "staticguard"):
         aux = pack_threshold_table(table)          # (8-padded chunks, L) i32
     elif config.lookup_mode == "needband":
         aux = chunk_bound(table)                   # (1, L) f32

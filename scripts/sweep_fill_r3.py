@@ -30,6 +30,9 @@ t0 = time.perf_counter()
 # dispatch to ~100 mobility steps — the whole-phase dispatches faulted the
 # worker 3-for-3 at T >= 400.
 PASSES = [
+    # Sync T=80: dropped by remeasure_rows.py as contended, never re-run
+    # (resume=True skips the recorded T=10..100 rows, so only 80 executes).
+    (["sync"], {"sync": 80}),
     (["naive"], {"naive": 500}),
     (["dynamic_old"], {"dynamic_old": 1000}),
     (["naive"], {"naive": 700}),

@@ -39,14 +39,14 @@ def _mk_table(seed=7, n=10000):
 @pytest.mark.parametrize(
     "mode",
     ["threshold", "needband", "band0", "minmax", "pipeband",
-     "statichybrid", "staticthresh"],
+     "statichybrid", "staticthresh", "staticguard"],
 )
 def test_lookup_modes_preserve_outcomes(mode):
     table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
         pack_threshold_table(table)
-        if mode in ("threshold", "staticthresh")
+        if mode in ("threshold", "staticthresh", "staticguard")
         else chunk_bound(table)
     )
     # static_chunks=3 << the 79-chunk table forces the dynamic tail path

@@ -60,8 +60,11 @@ BASE = SimConfig(
             BASE.replace(init_n=97, capacity=2048, worklog_rows=16),
             marks=pytest.mark.slow,
         ),
+        # the guarded static lookup skips statically unrolled chunk visits
+        # by a per-step band cond — must stay bit-exact vs the oracle
+        BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
     ],
-    ids=["d2", "d1-suspend", "s16-t9", "odd-small-log"],
+    ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
