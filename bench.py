@@ -32,8 +32,34 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
+
+# Backend-init resilience: the axon worker is occasionally down and a dead
+# worker poisons the whole process (backend init raises UNAVAILABLE after a
+# ~25 min hang; retrying in-process cannot recover).  Re-exec the script a
+# few times so a worker that comes back mid-capture still yields a number
+# instead of an empty driver capture (round-3 incident: the worker was
+# unavailable for hours and every client hung at init).
+_REEXEC_ENV = "BENCH_INIT_RETRIES"
+_MAX_INIT_RETRIES = 3
+
+
+def _reexec_on_backend_failure(exc: Exception):
+    tries = int(os.environ.get(_REEXEC_ENV, "0"))
+    if "UNAVAILABLE" not in str(exc) or tries >= _MAX_INIT_RETRIES:
+        raise exc
+    print(
+        f"# backend unavailable (attempt {tries + 1}/{_MAX_INIT_RETRIES}); "
+        "re-executing in 60 s",
+        file=sys.stderr,
+        flush=True,
+    )
+    time.sleep(60)
+    os.environ[_REEXEC_ENV] = str(tries + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 
 import jax.numpy as jnp
 
@@ -137,4 +163,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — re-exec only on backend loss
+        _reexec_on_backend_failure(e)

@@ -61,6 +61,13 @@ class SimConfig:
     # Work-log engine: rows (of 128 lanes) per ping-pong work log.
     # 0 = auto (half the capacity, at least one tile).
     worklog_rows: int = 0
+    # Work-log start segments: children/suspended records route to one of
+    # this many log segments by the step they first execute, so each
+    # next-pass tile holds start-homogeneous lanes and its T-loop skips the
+    # dead span before their starts (slot efficiency 0.341 -> 0.418
+    # measured by scripts/analyse_probe_structure.py at the bench point).
+    # 1 = single mixed log (the round-2 behavior).
+    worklog_start_buckets: int = 1
     lookup_mode: str = "staticthresh"  # staticthresh|staticguard|statichybrid|band0|pipeband|threshold|needband|minmax
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
     # Physics model selections (models/integrator.py, models/collisions.py):

@@ -79,8 +79,10 @@ from .push_mcc import (
 NF = len(FIELD_NAMES)
 _PUSH_BASE = 1 << 30  # exact push counter: value = hi * 2^30 + lo
 
-# smem scratch slots
+# smem scratch slots; work-segment element counters live at _WSEG + b
 _DONE_ELEMS, _WORK_ELEMS, _CHILDREN, _PUSH_LO, _PUSH_HI, _OVF = range(6)
+_WSEG = 8
+_SMEM_SLOTS = 16
 
 
 def _to_typed(i32_2d, name):
@@ -118,10 +120,12 @@ def _emit_stream(
     emit_ref,            # (NF, BUF_ROWS, L) i32 scratch
     carry_ref,           # (NF, 1, L) i32 scratch (persists across tiles)
     target_ref,          # (NF, ROWS, L) i32 HBM output
-    row_cap,             # static int: target rows
+    row_cap,             # static int: target rows (within the segment)
     sem,
     chunk_rows,          # static int: DMA chunk size (rows)
     q_chunks,            # static int: BUF_ROWS // chunk_rows
+    row_base=0,          # static int: target segment's first row
+    carry_base=0,        # static int: first carry_ref plane of this stream
 ):
     """Pack this tile's valid records densely after ``elems_in`` elements of
     the target stream.  Returns (new_elems, overflowed)."""
@@ -218,7 +222,7 @@ def _emit_stream(
                     out = jax.lax.bitcast_convert_type(out_u, jnp.int32)
                     if qc == 0:
                         # merge the partial-row carry into out row 0
-                        cr = carry_ref[f, :, :]
+                        cr = carry_ref[carry_base + f, :, :]
                         out = jnp.concatenate(
                             [jnp.where(carry_lane < fill, cr, out[0:1]), out[1:]],
                             axis=0,
@@ -233,7 +237,9 @@ def _emit_stream(
             def _dma():
                 cp = pltpu.make_async_copy(
                     emit_ref.at[:, pl.ds(q0, chunk_rows), :],
-                    target_ref.at[:, pl.ds(ptr_rows + q0, chunk_rows), :],
+                    target_ref.at[
+                        :, pl.ds(row_base + ptr_rows + q0, chunk_rows), :
+                    ],
                     sem,
                 )
                 cp.start()
@@ -241,14 +247,15 @@ def _emit_stream(
 
         # new carry = the (possibly partial) row after the last full one
         for f in range(NF):
-            carry_ref[f, :, :] = emit_ref[f, pl.ds(rows_full, 1), :]
+            carry_ref[carry_base + f, :, :] = emit_ref[f, pl.ds(rows_full, 1), :]
 
     elems_out = jnp.where(do_emit, new_elems, elems_in)
     overflowed = (total > 0) & jnp.logical_not(fits)
     return elems_out, overflowed
 
 
-def _flush_carry(elems, carry_ref, target_ref, row_cap, sem):
+def _flush_carry(elems, carry_ref, target_ref, row_cap, sem,
+                 row_base=0, carry_base=0):
     """Write the partial carry row (zero-padded) so the stream is complete
     in HBM.  Re-absorbed via the element count by the next pass."""
     fill = elems % LANES
@@ -258,9 +265,13 @@ def _flush_carry(elems, carry_ref, target_ref, row_cap, sem):
     def _():
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         for f in range(NF):
-            carry_ref[f, :, :] = jnp.where(lane < fill, carry_ref[f, :, :], 0)
+            carry_ref[carry_base + f, :, :] = jnp.where(
+                lane < fill, carry_ref[carry_base + f, :, :], 0
+            )
         cp = pltpu.make_async_copy(
-            carry_ref, target_ref.at[:, pl.ds(row, 1), :], sem
+            carry_ref.at[pl.ds(carry_base, NF)],
+            target_ref.at[:, pl.ds(row_base + row, 1), :],
+            sem,
         )
         cp.start()
         cp.wait()
@@ -271,6 +282,8 @@ def _worklog_kernel(
     n_chunks: int,
     done_rows: int,
     work_rows: int,
+    n_seg: int,
+    seg_rows: int,
     db_rows: int,
     wb_rows: int,
     chunk_rows: int,
@@ -311,9 +324,12 @@ def _worklog_kernel(
         smem[_PUSH_LO] = 0
         smem[_PUSH_HI] = 0
         smem[_OVF] = 0
+        for b in range(n_seg):
+            smem[_WSEG + b] = 0
         for f in range(NF):
-            carry_work_ref[f, :, :] = jnp.zeros((1, LANES), jnp.int32)
             carry_done_ref[f, :, :] = jnp.zeros((1, LANES), jnp.int32)
+        for f in range(n_seg * NF):
+            carry_work_ref[f, :, :] = jnp.zeros((1, LANES), jnp.int32)
 
         # re-absorb the previous pass's flushed partial done row
         @pl.when(n_done % LANES > 0)
@@ -433,8 +449,11 @@ def _worklog_kernel(
                 ax=a0[0], ay=a0[1], az=a0[2],
                 status=stamp, id_hi=id0[0], id_lo=id0[1],
             )
+            # within unf0 lanes the carried stamp is -1, >0, or DEAD (-2):
+            # stamp >= -1 is is_live exactly, one compare instead of two
+            # (empty-slot status 0 only occurs outside unf0)
             candidate = (
-                unf0 & population.is_live(stamp) & (t >= start0) & (susp_t == 0)
+                unf0 & (stamp >= -1) & (t >= start0) & (susp_t == 0)
             )
             suspend_now = candidate & (depth >= D)
             susp_t = jnp.where(suspend_now, t, susp_t)
@@ -561,6 +580,17 @@ def _worklog_kernel(
         smem[_DONE_ELEMS] = d_elems
 
         # ---- work stream: suspended parents + staged children ----
+        # With n_seg > 1 the work log is partitioned into start-step
+        # segments: records route to segment b by the step they will first
+        # execute (child stamp + 1, or the packed resume step).  Work-log
+        # tiles then hold start-homogeneous lanes, so the next pass's
+        # T-loop (which runs [min start in tile, T]) stops burning slots on
+        # lanes that only wake near the end of the phase — the probe
+        # (scripts/analyse_probe_structure.py) measured slot efficiency
+        # 0.341 with one mixed log vs 0.418 with 4 segments at the bench
+        # point.  Emission order within a segment is unchanged, and
+        # routing cannot change physics (draws are genealogy-keyed;
+        # tests/test_worklog.py asserts multiset equality).
         susp_status = _encode_suspended(susp_t, stamp)
         work_vals = []
         for f, name in enumerate(FIELD_NAMES):
@@ -570,22 +600,43 @@ def _worklog_kernel(
             plane0 = jnp.where(suspended, v, 0)
             planes = [plane0] + [stage_ref[f * D + d, :, :] for d in range(D)]
             work_vals.append(jnp.concatenate(planes, axis=0))
-        w_valid = work_vals[FIELD_NAMES.index("status")] != 0
-        w_elems, w_ovf = _emit_stream(
-            values_i32=work_vals,
-            valid=w_valid,
-            elems_in=smem[_WORK_ELEMS],
-            srclane_ref=srclane_ref,
-            tl_ref=tl_ref,
-            emit_ref=emit_work_ref,
-            carry_ref=carry_work_ref,
-            target_ref=work_out,
-            row_cap=work_rows,
-            sem=sem,
-            chunk_rows=chunk_rows,
-            q_chunks=wb_rows // chunk_rows,
-        )
-        smem[_WORK_ELEMS] = w_elems
+        w_status = work_vals[FIELD_NAMES.index("status")]
+        w_valid = w_status != 0
+        if n_seg == 1:
+            b_idx = None
+        else:
+            w_start = jnp.where(
+                _is_suspended(w_status),
+                _suspended_resume(w_status),
+                w_status + 1,
+            )
+            # starts span [2, t_steps + 1] -> linear map onto segments
+            b_idx = jnp.clip(
+                ((w_start - 2) * n_seg) // jnp.maximum(t_steps, 1),
+                0,
+                n_seg - 1,
+            )
+        w_ovf = jnp.zeros((), jnp.bool_)
+        for b in range(n_seg):
+            valid_b = w_valid if b_idx is None else (w_valid & (b_idx == b))
+            e_b, o_b = _emit_stream(
+                values_i32=work_vals,
+                valid=valid_b,
+                elems_in=smem[_WSEG + b],
+                srclane_ref=srclane_ref,
+                tl_ref=tl_ref,
+                emit_ref=emit_work_ref,
+                carry_ref=carry_work_ref,
+                target_ref=work_out,
+                row_cap=seg_rows,
+                sem=sem,
+                chunk_rows=chunk_rows,
+                q_chunks=wb_rows // chunk_rows,
+                row_base=b * seg_rows,
+                carry_base=b * NF,
+            )
+            smem[_WSEG + b] = e_b
+            w_ovf = w_ovf | o_b
 
         smem[_CHILDREN] = smem[_CHILDREN] + tile_spawns
         lo = smem[_PUSH_LO] + tile_pushes
@@ -596,9 +647,15 @@ def _worklog_kernel(
     @pl.when(i == last)
     def _finalize():
         _flush_carry(smem[_DONE_ELEMS], carry_done_ref, done_out, done_rows, sem)
-        _flush_carry(smem[_WORK_ELEMS], carry_work_ref, work_out, work_rows, sem)
+        w_total = jnp.zeros((), jnp.int32)
+        for b in range(n_seg):
+            _flush_carry(
+                smem[_WSEG + b], carry_work_ref, work_out, seg_rows, sem,
+                row_base=b * seg_rows, carry_base=b * NF,
+            )
+            w_total = w_total + smem[_WSEG + b]
         counters_out[0] = smem[_DONE_ELEMS]
-        counters_out[1] = smem[_WORK_ELEMS]
+        counters_out[1] = w_total
         counters_out[2] = smem[_CHILDREN]
         counters_out[3] = smem[_PUSH_LO]
         counters_out[4] = smem[_PUSH_HI]
@@ -625,6 +682,8 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     src_rows = src.shape[1]
     done_rows = done.shape[1]
     work_rows = work.shape[1]
+    n_seg = max(1, config.worklog_start_buckets)
+    seg_rows = work_rows // n_seg
     num_tiles = src_rows // S
     R_work = (D + 1) * S
     chunk_rows = min(128, S)
@@ -658,16 +717,16 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
             pltpu.VMEM((NF, db_rows, LANES), jnp.int32),
             pltpu.VMEM((NF, wb_rows, LANES), jnp.int32),
             pltpu.VMEM((NF, 1, LANES), jnp.int32),
-            pltpu.VMEM((NF, 1, LANES), jnp.int32),
+            pltpu.VMEM((n_seg * NF, 1, LANES), jnp.int32),
             pltpu.VMEM((R_work, LANES), jnp.int32),
             pltpu.VMEM((R_work, LANES), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((_SMEM_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
         _worklog_kernel, config, n_chunks, done_rows, work_rows,
-        db_rows, wb_rows, chunk_rows,
+        n_seg, seg_rows, db_rows, wb_rows, chunk_rows,
     )
     out_shapes = (
         jax.ShapeDtypeStruct(src.shape, jnp.int32),
@@ -768,8 +827,12 @@ def mobility_phase_worklog(
     # at the next capacity (runtime._bucketed_step).  The floor covers the
     # DMA chunk slack that the fit test reserves.
     auto = cap_rows // 2
+    n_seg = max(1, config.worklog_start_buckets)
+    # each start segment needs S-aligned rows (tiles must not straddle a
+    # segment base) and at least one DMA chunk of slack for the fit test
     work_rows = _round_up(
-        max(config.worklog_rows or auto, 4 * S, 4 * chunk), S
+        max(config.worklog_rows or auto, n_seg * 4 * S, n_seg * 4 * chunk),
+        n_seg * S,
     )
 
     scalars0 = jnp.stack(

@@ -104,8 +104,19 @@ def make_kick(integrator: str, acc, dt, fdt):
 
 
 def out_of_bounds(p: Particles, sim_size) -> jnp.ndarray:
-    sx, sy, sz = (jnp.asarray(s, p.px.dtype) for s in sim_size)
     zero = jnp.zeros((), p.px.dtype)
+    if sim_size[0] == sim_size[1] == sim_size[2]:
+        # cubic domain (the reference's, src/cell.h:5-7): fold the six
+        # compares into min/max reductions — exact (pure comparison
+        # reassociation: min < 0 iff any coord < 0, max >= s iff any
+        # coord >= s; NaNs propagate through min/max and compare false
+        # either way), and 4 fewer vector ops in the fused kernels'
+        # spill-bound T-loop.
+        s = jnp.asarray(sim_size[0], p.px.dtype)
+        m = jnp.minimum(jnp.minimum(p.px, p.py), p.pz)
+        big = jnp.maximum(jnp.maximum(p.px, p.py), p.pz)
+        return (m < zero) | (big >= s)
+    sx, sy, sz = (jnp.asarray(s, p.px.dtype) for s in sim_size)
     return (
         (p.px < zero) | (p.px >= sx)
         | (p.py < zero) | (p.py >= sy)

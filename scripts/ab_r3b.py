@@ -1,0 +1,98 @@
+"""A/B the round-3b kernel candidates at the bench point (real chip).
+
+Variants over the bench config (1M electrons, cap 2M, T=100, 256^3):
+  * base         — round-3 shipped config (staticthresh, 1 mixed work log)
+  * guard        — lookup_mode=staticguard (band-gated static visits)
+  * seg2/seg4/seg8 — start-bucketed work-log emission
+  * guard+seg4   — combined
+Each: 3 warm Poisson steps then N windows of 3 steps; prints best window
+pushes/s per variant.  Run ONLY on an idle chip (single-tenant).
+
+    python scripts/ab_r3b.py [variant ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from particle_simulation_tpu import SimConfig, setup_particles
+from particle_simulation_tpu.cross_section import load_table
+from particle_simulation_tpu.ops.step import poisson_loop
+from particle_simulation_tpu.runtime import _bucket_size, _slice_state
+
+WARM, STEPS, WINDOWS = 3, 3, 3
+
+BASE = SimConfig(
+    init_n=1_000_000,
+    capacity=2_000_000,
+    poisson_steps=WARM + WINDOWS * STEPS,
+    poisson_timestep=100,
+    grid_size=(256, 256, 256),
+    scheduler="dynamic",
+)
+
+VARIANTS = {
+    "base": {},
+    "guard": {"lookup_mode": "staticguard"},
+    "seg2": {"worklog_start_buckets": 2},
+    "seg4": {"worklog_start_buckets": 4},
+    "seg8": {"worklog_start_buckets": 8},
+    "guard+seg4": {"lookup_mode": "staticguard", "worklog_start_buckets": 4},
+    # retry of the tile-height ceiling now that the T-loop carries slimmed
+    "s256": {"kernel_sublanes": 256},
+}
+
+
+def run_variant(name, overrides, table):
+    config = BASE.replace(**overrides)
+    w = _bucket_size(config.init_n, config.capacity)
+    full = setup_particles(config)
+    while True:
+        state = _slice_state(full, w) if w < config.capacity else full
+        cfg_w = config.replace(capacity=w)
+        t0 = time.perf_counter()
+        state, m0 = poisson_loop(state, table, cfg_w, WARM, first_index=0)
+        _ = int(state.n)
+        warm_s = time.perf_counter() - t0
+        rates, overflow = [], bool(jnp.any(m0["overflow"]))
+        idx = WARM
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            state, m = poisson_loop(state, table, cfg_w, STEPS, first_index=idx)
+            _ = int(state.n)
+            el = time.perf_counter() - t0
+            idx += STEPS
+            pushes = sum(
+                int(l) + (int(h) << 30)
+                for l, h in zip(m["pushes_lo"], m["pushes_hi"])
+            )
+            overflow |= bool(jnp.any(m["overflow"]))
+            rates.append(pushes / el)
+        if w < config.capacity and overflow:
+            w = _bucket_size(w + 1, config.capacity)
+            continue
+        break
+    print(
+        f"{name:12s} warm {warm_s:6.1f}s  best {max(rates):.4g} pushes/s  "
+        f"all {[f'{r:.3g}' for r in rates]}",
+        flush=True,
+    )
+    return max(rates)
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    table = load_table()
+    results = {}
+    for name in names:
+        results[name] = run_variant(name, VARIANTS[name], table)
+    best = max(results, key=results.get)
+    print(f"winner: {best} at {results[best]:.4g} pushes/s")
+
+
+if __name__ == "__main__":
+    main()

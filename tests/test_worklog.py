@@ -63,8 +63,17 @@ BASE = SimConfig(
         # the guarded static lookup skips statically unrolled chunk visits
         # by a per-step band cond — must stay bit-exact vs the oracle
         BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
+        # start-bucketed work-log emission (4 segment logs routed by first
+        # execution step) — pure rescheduling, must stay bit-exact
+        BASE.replace(worklog_start_buckets=4, poisson_timestep=9),
+        # buckets x suspension churn: resume records route by resume step
+        pytest.param(
+            BASE.replace(spawn_depth=1, worklog_start_buckets=4),
+            marks=pytest.mark.slow,
+        ),
     ],
-    ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard"],
+    ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
+         "bucketed", "bucketed-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
