@@ -80,14 +80,18 @@ def _append_csv(path: str, run: RunData) -> None:
 
 
 def _recorded_rows(out_csv: str):
-    """(func, mobility steps) -> time_ms for rows already in the CSV."""
+    """(func, mobility steps) -> [time_ms, ...] for rows already in the CSV
+    (a list per key: repeat_map rows legitimately appear several times, and
+    a resumed sweep must know HOW MANY reps landed, not just that one did)."""
     done = {}
     if os.path.exists(out_csv):
         with open(out_csv) as f:
             for line in f.readlines()[1:]:
                 parts = line.strip().split(",")
                 if len(parts) >= 9:
-                    done[(parts[0], int(parts[3]))] = float(parts[8])
+                    done.setdefault(
+                        (parts[0], int(parts[3])), []
+                    ).append(float(parts[8]))
     return done
 
 
@@ -175,7 +179,13 @@ def run_benchmark(
             continue
         if max_t and cfg.poisson_timestep > max_t.get(cfg.scheduler, 10**9):
             continue
-        if (_FUNC_NAME[cfg.scheduler], cfg.poisson_timestep) in done:
+        reps_want = (repeat_map or {}).get(
+            (cfg.scheduler, cfg.poisson_timestep), 1
+        )
+        reps_have = len(
+            done.get((_FUNC_NAME[cfg.scheduler], cfg.poisson_timestep), ())
+        )
+        if reps_have >= reps_want:
             continue
         poison_key = f"{cfg.scheduler}|{cfg.poisson_timestep}"
         if poison.get(poison_key, 0) >= poison_limit:
@@ -226,14 +236,14 @@ def run_benchmark(
             _save_hints(hints_path, hints)
             warmed.add(cfg.scheduler)
         prior = [
-            t for (f, _), t in done.items() if f == _FUNC_NAME[cfg.scheduler]
+            t
+            for (f, _), ts in done.items()
+            if f == _FUNC_NAME[cfg.scheduler]
+            for t in ts
         ] + [r.device_time_ms for r in runs if r.config.scheduler == cfg.scheduler]
-        reps = (repeat_map or {}).get(
-            (cfg.scheduler, cfg.poisson_timestep), 1
-        )
         poison[poison_key] = poison.get(poison_key, 0) + 1
         _save_hints(poison_path, poison)
-        for rep in range(reps):
+        for rep in range(reps_have, reps_want):
             for attempt in range(2):
                 t0 = time.perf_counter()
                 run = run_pic_device(

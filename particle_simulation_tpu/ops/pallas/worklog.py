@@ -79,10 +79,12 @@ from .push_mcc import (
 NF = len(FIELD_NAMES)
 _PUSH_BASE = 1 << 30  # exact push counter: value = hi * 2^30 + lo
 
-# smem scratch slots; work-segment element counters live at _WSEG + b
+# smem scratch slots; slot 1 (_WORK_ELEMS) is historical — work-stream
+# element counts live per segment at slots _WSEG + b (b < _WSEG_MAX)
 _DONE_ELEMS, _WORK_ELEMS, _CHILDREN, _PUSH_LO, _PUSH_HI, _OVF = range(6)
 _WSEG = 8
 _SMEM_SLOTS = 16
+_WSEG_MAX = _SMEM_SLOTS - _WSEG  # upper bound on worklog_start_buckets
 
 
 def _to_typed(i32_2d, name):
@@ -307,7 +309,7 @@ def _worklog_kernel(
     carry_work_ref,  # (NF, 1, L)
     srclane_ref,    # (R_work, L) i32
     tl_ref,         # (R_work, L) i32
-    smem,           # SMEM (8,) i32 running state
+    smem,           # SMEM (_SMEM_SLOTS,) i32 running state (layout above)
     sem,
 ):
     S, _ = _tile_dims(config)
@@ -319,7 +321,6 @@ def _worklog_kernel(
     def _init():
         n_done = scal_ref[2]
         smem[_DONE_ELEMS] = n_done
-        smem[_WORK_ELEMS] = 0
         smem[_CHILDREN] = 0
         smem[_PUSH_LO] = 0
         smem[_PUSH_HI] = 0
@@ -813,6 +814,14 @@ def mobility_phase_worklog(
         raise ValueError(
             f"poisson_timestep={config.poisson_timestep} exceeds the fused "
             "engine's 15-bit stamp domain; use scheduler='naive' or 'sync'"
+        )
+    # 0 means "off" (one mixed log, same as 1); the ceiling is the SMEM
+    # slot budget for per-segment element counters
+    if not (0 <= config.worklog_start_buckets <= _WSEG_MAX):
+        raise ValueError(
+            f"worklog_start_buckets={config.worklog_start_buckets} outside "
+            f"[0, {_WSEG_MAX}]: segment counters live in SMEM slots "
+            f"{_WSEG}..{_SMEM_SLOTS - 1}"
         )
     S, TILE = _tile_dims(config)
     c = state.capacity

@@ -107,11 +107,15 @@ def out_of_bounds(p: Particles, sim_size) -> jnp.ndarray:
     zero = jnp.zeros((), p.px.dtype)
     if sim_size[0] == sim_size[1] == sim_size[2]:
         # cubic domain (the reference's, src/cell.h:5-7): fold the six
-        # compares into min/max reductions — exact (pure comparison
-        # reassociation: min < 0 iff any coord < 0, max >= s iff any
-        # coord >= s; NaNs propagate through min/max and compare false
-        # either way), and 4 fewer vector ops in the fused kernels'
-        # spill-bound T-loop.
+        # compares into min/max reductions — 4 fewer vector ops in the
+        # fused kernels' spill-bound T-loop.  Exact for finite coords
+        # (min < 0 iff any coord < 0, max >= s iff any coord >= s).  NaN
+        # caveat: a NaN coordinate poisons min/max, so a particle with one
+        # NaN and one genuinely-out-of-bounds coordinate is kept where the
+        # per-coordinate form would remove it — both forms keep all-NaN
+        # particles (reference behavior: NaN compares false), and finite
+        # physics never produces NaN here, so the paths only diverge in a
+        # blowup regime that is already undefined.
         s = jnp.asarray(sim_size[0], p.px.dtype)
         m = jnp.minimum(jnp.minimum(p.px, p.py), p.pz)
         big = jnp.maximum(jnp.maximum(p.px, p.py), p.pz)

@@ -320,7 +320,8 @@ def _naive_span_jit(
 
 
 def poisson_step_naive_host(
-    state: SimState, poisson_index, table, config: SimConfig, t_chunk: int
+    state: SimState, poisson_index, table, config: SimConfig, t_chunk: int,
+    stop_on_overflow: bool = True,
 ) -> Tuple[SimState, dict]:
     """One Naive Poisson step with the mobility T-loop split into host-side
     chunks of ``t_chunk`` steps — one bounded dispatch per chunk — instead
@@ -335,7 +336,16 @@ def poisson_step_naive_host(
     (poison-listed naive 400/500), while the worklog engine's short
     dispatches have never faulted.  Chunking bounds each dispatch to
     ``t_chunk`` mobility steps, mirroring poisson_step_sync_host's fix for
-    the sync fixed point."""
+    the sync fixed point.
+
+    ``stop_on_overflow``: when the caller redoes an overflowed step at a
+    bigger bucket anyway (runtime bucket ladder below config.capacity),
+    remaining chunks are wasted work and are skipped.  At the TOP bucket
+    there is no retry — overflow means children beyond the container are
+    dropped and counted (reference semantics, src/pic.cu:544) while the
+    existing population keeps simulating — so the caller passes False and
+    every chunk runs, keeping this path bit-exact vs mobility_phase_naive's
+    single fori_loop in the accepted-overflow regime too."""
     cfg = _step_config(config)
     T = int(config.poisson_timestep)
     state = _sync_grid_jit(state, cfg)
@@ -349,8 +359,8 @@ def poisson_step_naive_host(
             jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
             lo, hi, cfg,
         )
-        if int(state.n) > state.capacity:
-            break  # overflow: the caller redoes at a bigger bucket anyway
+        if stop_on_overflow and int(state.n) > state.capacity:
+            break  # overflow: the caller redoes at a bigger bucket
     return _sync_finalize_jit(state, n_start, lo, hi, cfg)
 
 
@@ -374,7 +384,8 @@ def _sync_finalize_jit(state: SimState, n_start, lo, hi, config: SimConfig):
 
 
 def poisson_step_sync_host(
-    state: SimState, poisson_index, table, config: SimConfig
+    state: SimState, poisson_index, table, config: SimConfig,
+    stop_on_overflow: bool = True,
 ) -> Tuple[SimState, dict]:
     """One CPU Sync Poisson step with the generation fixed point run as a
     HOST loop — one bounded dispatch per generation — instead of the in-jit
@@ -394,10 +405,14 @@ def poisson_step_sync_host(
     reliable shape, and is the better TPU design anyway: each dispatch is
     bounded, so a fault loses one generation, not the whole run.
 
-    Early exit on overflow: children appended past capacity are lost, so the
-    caller must redo the step at a bigger bucket anyway (the exact-retry
-    protocol of runtime._bucketed_step) — we stop dispatching generations as
-    soon as n exceeds capacity and report overflow.
+    Early exit on overflow (``stop_on_overflow=True``): children appended
+    past capacity are lost, so a caller running below config.capacity redoes
+    the step at a bigger bucket anyway (the exact-retry protocol of
+    runtime._bucketed_step) — we stop dispatching generations as soon as n
+    exceeds capacity and report overflow.  At the TOP bucket there is no
+    retry and the in-jit while_loop still consumes every generation within
+    the clamped container (mobility_phase_sync: while n_clamped > gen_lo),
+    so the caller passes False and this loop does the same.
     """
     from ..runtime import _bucket_size
 
@@ -412,7 +427,7 @@ def poisson_step_sync_host(
     while True:
         n_created = int(state.n)  # one tunnel readback per generation
         n_live = min(n_created, C)
-        if n_created > C or n_live <= gen_lo:
+        if (stop_on_overflow and n_created > C) or n_live <= gen_lo:
             break
         gen_len = n_live - gen_lo
         room = C - gen_lo

@@ -302,13 +302,22 @@ def run_pic_device(
             cfg_w = config.replace(capacity=w)
             t0 = time.perf_counter()
             if use_sync_host or use_naive_host:
+                # below config.capacity an overflowed step is redone at the
+                # next bucket, so the host loops may stop early; at the TOP
+                # bucket overflow is ACCEPTED (children dropped + counted,
+                # reference src/pic.cu:544) and the in-jit paths keep
+                # simulating — the host loops must too (stop_on_overflow
+                # docstrings in ops/step.py)
+                retried = w < config.capacity
                 if use_sync_host:
                     final, m1 = poisson_step_sync_host(
-                        part, jnp.uint32(done), table, cfg_w
+                        part, jnp.uint32(done), table, cfg_w,
+                        stop_on_overflow=retried,
                     )
                 else:
                     final, m1 = poisson_step_naive_host(
-                        part, jnp.uint32(done), table, cfg_w, naive_chunk
+                        part, jnp.uint32(done), table, cfg_w, naive_chunk,
+                        stop_on_overflow=retried,
                     )
                 metrics = {key: jnp.asarray(v)[None] for key, v in m1.items()}
             else:

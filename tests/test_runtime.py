@@ -188,6 +188,45 @@ def test_naive_host_chunks_bit_exact():
     )
 
 
+def test_host_paths_bit_exact_under_accepted_overflow():
+    """At the TOP capacity bucket an overflow is ACCEPTED, not retried
+    (children beyond the container are dropped and counted, reference
+    src/pic.cu:543-545) and the in-jit phases keep simulating the existing
+    population — the host-chunked paths must too (stop_on_overflow=False),
+    not break out of the remaining chunks/generations."""
+    import numpy as np
+
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import run_pic_device, sorted_particle_array
+
+    # capacity tight enough that the 50%-split table overflows the top
+    # bucket mid-phase (no bigger bucket exists -> accepted overflow)
+    base = SimConfig(
+        init_n=400, capacity=512, poisson_steps=2, poisson_timestep=6,
+        grid_size=(16, 16, 16),
+        cross_section_path=bundled_paths()[1],
+    )
+    cfg_n = base.replace(scheduler="naive")
+    injit = run_pic_device(cfg_n, naive_chunk=0)
+    host = run_pic_device(cfg_n, naive_chunk=2)
+    assert any(m.overflow for m in injit.steps)  # regime actually reached
+    assert [m.n for m in host.steps] == [m.n for m in injit.steps]
+    assert [m.pushes for m in host.steps] == [m.pushes for m in injit.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(injit.state), sorted_particle_array(host.state)
+    )
+
+    cfg_s = base.replace(scheduler="sync")
+    injit_s = run_pic_device(cfg_s, sync_host=False)
+    host_s = run_pic_device(cfg_s, sync_host=True)
+    assert any(m.overflow for m in injit_s.steps)
+    assert [m.n for m in host_s.steps] == [m.n for m in injit_s.steps]
+    assert [m.pushes for m in host_s.steps] == [m.pushes for m in injit_s.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(injit_s.state), sorted_particle_array(host_s.state)
+    )
+
+
 def test_sync_host_generations_bit_exact():
     """The host-generation CPU Sync path (poisson_step_sync_host: fixed
     point as a host loop of bounded dispatches — the worker-fault-proof
