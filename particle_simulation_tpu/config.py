@@ -70,6 +70,12 @@ class SimConfig:
     worklog_start_buckets: int = 1
     lookup_mode: str = "staticthresh"  # staticthresh|staticguard|statichybrid|band0|pipeband|threshold|needband|minmax
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
+    # Threshold-family lookups return decided booleans instead of f32
+    # pseudo-chances (make_chunked_lookup(hits=True)): bit-identical
+    # outcomes, ~4 fewer vector ops per mobility step in the worklog
+    # engine's spill-bound T-loop.  Ignored by non-threshold modes and by
+    # the staged engine (which degrades aux modes to band0).
+    lookup_hits: bool = False
     # Physics model selections (models/integrator.py, models/collisions.py):
     # integrator: "leapfrog" (reference parity) | "boris" (zero-B Boris push)
     # collision_model: "reverse" (reference: parent velocity flips) |

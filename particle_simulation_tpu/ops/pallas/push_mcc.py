@@ -112,7 +112,7 @@ def _field_dtype(name):
     return jnp.float32
 
 
-def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
+def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
     """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -181,6 +181,16 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
                        identical to staticthresh by construction (skipped
                        visits could only have written lanes that don't
                        exist).
+
+    ``hits=True`` (threshold-family modes only) switches the RETURN PROTOCOL:
+    instead of (split, remove) f32 pseudo-chances the lookup returns the two
+    decided booleans ``(u < split, u < split + remove)`` directly and sets
+    ``lookup.returns_hits = True`` so physics.update_particles skips its own
+    f32 compares.  Outcomes are bit-identical: decided lanes use the exact
+    integer thresholds (u < c iff P < T(c)); undecided lanes use the same
+    exact f32 compares physics would have done.  Saves ~4 vector ops per
+    mobility step in the spill-bound T-loop (the pseudo-chance selects in
+    the lookup tail plus the compare+add in physics).
     """
     from ...cross_section import energy_to_index
 
@@ -314,6 +324,13 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
             sp_e, rm_e = jax.lax.fori_loop(
                 hmin_u, hmax_u + 1, body, (zeros, zeros)
             )
+            if hits:
+                # boolean protocol: merge the rare undecided lanes' exact
+                # f32 outcomes straight into the integer decisions
+                uf = u.astype(jnp.float32)
+                s_fin = jnp.where(und, uf < sp_e, s_hit)
+                t_fin = jnp.where(und, uf < sp_e + rm_e, t_hit)
+                return s_fin, t_fin
             # certain lanes: effective chances force the exact outcome
             # (u is in [0, 100), so 101 always compares true, 0 false;
             # s_hit implies t_hit because split <= split + remove)
@@ -344,7 +361,10 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8):
         hmax_nz = jnp.max(jnp.where(mask_nz, hi, 1))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
+    if hits and mode not in ("threshold", "staticthresh", "staticguard"):
+        raise ValueError(f"hits protocol requires a threshold-family mode, got {mode!r}")
     lookup.prepare_static = prepare_static
+    lookup.returns_hits = hits
     return lookup
 
 

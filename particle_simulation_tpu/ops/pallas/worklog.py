@@ -362,7 +362,9 @@ def _worklog_kernel(
         p_step = scal_ref[0].astype(jnp.uint32)
         t_steps = scal_ref[1]
         lookup = make_chunked_lookup(
-            n_chunks, config.lookup_mode, config.lookup_static_chunks
+            n_chunks, config.lookup_mode, config.lookup_static_chunks,
+            hits=config.lookup_hits
+            and config.lookup_mode in ("threshold", "staticthresh", "staticguard"),
         )
 
         suspended0 = _is_suspended(status0)
@@ -464,6 +466,9 @@ def _worklog_kernel(
                 **({"band": (h0, h1)} if pipeband else {}),
                 **({"prep": prep} if prep is not None else {}),
             )
+            # functools.partial doesn't forward attributes; re-tag the
+            # protocol marker physics.update_particles dispatches on
+            table_lookup.returns_hits = lookup.returns_hits
             res = update_particles(
                 p,
                 active=active,

@@ -175,15 +175,25 @@ def update_particles(
     # lanes' frozen energies otherwise triple the swept band: measured
     # ~13 vs ~4.6 chunks at the bench point, 3.4 ms per chunk visit).
     energy = jnp.where(active, collision_energy(moved), 0.0)
-    if table_lookup is not None:
-        # the raw draw payload (step_draws returns b0 ^ GOLDEN as child_lo)
-        # lets threshold-mode lookups decide comparisons in integer space
+    if table_lookup is not None and getattr(table_lookup, "returns_hits", False):
+        # boolean protocol (make_chunked_lookup(hits=True)): the lookup
+        # already decided both comparisons exactly in integer space — skip
+        # the f32 pseudo-chance round-trip (saves ~4 vector ops per step in
+        # the fused kernels' spill-bound T-loop)
         bits = child_lo ^ jnp.uint32(rng.GOLDEN)
-        split_chance, remove_chance = table_lookup(energy, u, bits)
-    u = u.astype(split_chance.dtype)
-
-    splits = active & ~oob & (u < split_chance)
-    dies_mcc = active & ~oob & ~splits & (u < split_chance + remove_chance)
+        s_hit, t_hit = table_lookup(energy, u, bits)
+        splits = active & ~oob & s_hit
+        dies_mcc = active & ~oob & ~splits & t_hit
+    else:
+        if table_lookup is not None:
+            # the raw draw payload (step_draws returns b0 ^ GOLDEN as
+            # child_lo) lets threshold-mode lookups decide comparisons in
+            # integer space
+            bits = child_lo ^ jnp.uint32(rng.GOLDEN)
+            split_chance, remove_chance = table_lookup(energy, u, bits)
+        u = u.astype(split_chance.dtype)
+        splits = active & ~oob & (u < split_chance)
+        dies_mcc = active & ~oob & ~splits & (u < split_chance + remove_chance)
     dies = (active & oob) | dies_mcc
     t_i32 = jnp.asarray(t, jnp.int32)
 

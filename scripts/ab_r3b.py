@@ -44,6 +44,15 @@ VARIANTS = {
     "guard+seg4": {"lookup_mode": "staticguard", "worklog_start_buckets": 4},
     # retry of the tile-height ceiling now that the T-loop carries slimmed
     "s256": {"kernel_sublanes": 256},
+    # boolean lookup protocol: ~4 fewer vector ops/step in the T-loop
+    "hits": {"lookup_hits": True},
+    "hits+seg4": {"lookup_hits": True, "worklog_start_buckets": 4},
+    "hits+guard": {"lookup_hits": True, "lookup_mode": "staticguard"},
+    "hits+guard+seg4": {
+        "lookup_hits": True,
+        "lookup_mode": "staticguard",
+        "worklog_start_buckets": 4,
+    },
 }
 
 

@@ -37,11 +37,15 @@ def _mk_table(seed=7, n=10000):
 
 
 @pytest.mark.parametrize(
-    "mode",
-    ["threshold", "needband", "band0", "minmax", "pipeband",
-     "statichybrid", "staticthresh", "staticguard"],
+    "mode,hits",
+    [("threshold", False), ("needband", False), ("band0", False),
+     ("minmax", False), ("pipeband", False), ("statichybrid", False),
+     ("staticthresh", False), ("staticguard", False),
+     # boolean return protocol (lookup_hits=True): same outcomes, decided
+     # booleans instead of f32 pseudo-chances
+     ("threshold", True), ("staticthresh", True), ("staticguard", True)],
 )
-def test_lookup_modes_preserve_outcomes(mode):
+def test_lookup_modes_preserve_outcomes(mode, hits):
     table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
@@ -50,7 +54,7 @@ def test_lookup_modes_preserve_outcomes(mode):
         else chunk_bound(table)
     )
     # static_chunks=3 << the 79-chunk table forces the dynamic tail path
-    lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3)
+    lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3, hits=hits)
 
     # energies spread over the whole table; (8, 128) tile
     rs = np.random.default_rng(3)
@@ -98,6 +102,12 @@ def test_lookup_modes_preserve_outcomes(mode):
     np.testing.assert_array_equal(idx, idx2)
     split_true = table_np[idx, 0]
     tot_true = table_np[idx, 0] + table_np[idx, 1]
+    if hits:
+        assert lookup.returns_hits
+        assert sp.dtype == np.bool_ and rm.dtype == np.bool_
+        np.testing.assert_array_equal(sp, u < split_true)
+        np.testing.assert_array_equal(rm, u < tot_true)
+        return
     # contract: comparison OUTCOMES are preserved, not the raw values
     np.testing.assert_array_equal(u < sp, u < split_true)
     np.testing.assert_array_equal(u < sp + rm, u < tot_true)

@@ -63,6 +63,9 @@ BASE = SimConfig(
         # the guarded static lookup skips statically unrolled chunk visits
         # by a per-step band cond — must stay bit-exact vs the oracle
         BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
+        # boolean lookup protocol (decided hits instead of f32
+        # pseudo-chances) — bit-exact by the threshold exactness argument
+        BASE.replace(lookup_hits=True, lookup_static_chunks=3),
         # start-bucketed work-log emission (4 segment logs routed by first
         # execution step) — pure rescheduling, must stay bit-exact
         BASE.replace(worklog_start_buckets=4, poisson_timestep=9),
@@ -73,7 +76,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
-         "bucketed", "bucketed-suspend"],
+         "hits", "bucketed", "bucketed-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
