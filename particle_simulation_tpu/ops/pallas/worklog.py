@@ -444,22 +444,25 @@ def _worklog_kernel(
             )
 
         def body(t, carry):
-            # susp_t doubles as the suspension flag (0 = not suspended,
-            # >0 = suspended at step susp_t): one carry array, not two
-            px, py, pz, vx, vy, vz, stamp, depth, susp_t, pvec, h0, h1 = carry
+            # Suspension lives INSIDE the carried stamp: a lane suspended at
+            # step t carries the packed work-log encoding
+            # _encode_suspended(t, stamp) (<= _SUS_BASE < -1), so the single
+            # ``stamp >= -1`` compare excludes DEAD and suspended lanes at
+            # once — no separate susp_t carry array round-tripping VMEM
+            # every iteration, and the end-of-pass emission reads the
+            # already-packed status verbatim.
+            px, py, pz, vx, vy, vz, stamp, depth, pvec, h0, h1 = carry
             p = Particles(
                 px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                 ax=a0[0], ay=a0[1], az=a0[2],
                 status=stamp, id_hi=id0[0], id_lo=id0[1],
             )
-            # within unf0 lanes the carried stamp is -1, >0, or DEAD (-2):
-            # stamp >= -1 is is_live exactly, one compare instead of two
+            # within unf0 lanes the carried stamp is -1, >0, DEAD (-2), or
+            # packed-suspended (<= _SUS_BASE): stamp >= -1 is
+            # live-and-not-suspended exactly, one compare instead of three
             # (empty-slot status 0 only occurs outside unf0)
-            candidate = (
-                unf0 & (stamp >= -1) & (t >= start0) & (susp_t == 0)
-            )
+            candidate = unf0 & (stamp >= -1) & (t >= start0)
             suspend_now = candidate & (depth >= D)
-            susp_t = jnp.where(suspend_now, t, susp_t)
             active = candidate & ~suspend_now
             table_lookup = functools.partial(
                 lookup, split_ref, remove_ref, aux_ref,
@@ -498,14 +501,19 @@ def _worklog_kernel(
             depth = depth + res.spawn.astype(jnp.int32)
             pvec = pvec + active.astype(jnp.int32)
             np_ = res.particles
+            # fold the suspension into the stamp: (t - 1) << _STAMP_BITS is
+            # a SCALAR (t is the loop index), so the pack costs 3 vector ops
+            # on top of the select that carried susp_t before — and frees
+            # one whole (S, L) loop carry
+            stamp_next = jnp.where(
+                suspend_now, _encode_suspended(t, np_.status), np_.status
+            )
             if pipeband:
-                may_act = (
-                    unf0 & population.is_live(np_.status) & (susp_t == 0)
-                )
+                may_act = unf0 & population.is_live(stamp_next)
                 h0, h1 = next_band(np_, may_act)
             return (
                 np_.px, np_.py, np_.pz, np_.vx, np_.vy, np_.vz,
-                np_.status, depth, susp_t, pvec, h0, h1,
+                stamp_next, depth, pvec, h0, h1,
             )
 
         zeros = jnp.zeros((S, LANES), jnp.int32)
@@ -526,7 +534,6 @@ def _worklog_kernel(
             *fields0[0:6],
             stamp0,
             zeros,                     # depth
-            zeros,                     # suspension step (0 = not suspended)
             zeros,                     # per-lane push counts
             h0_init,
             h1_init,
@@ -534,7 +541,7 @@ def _worklog_kernel(
 
         t0 = jnp.maximum(tile_first_t, 1)
         final = jax.lax.fori_loop(t0, t_steps + 1, body, init)
-        (px, py, pz, vx, vy, vz, stamp, depth, susp_t, pvec, _h0, _h1) = final
+        (px, py, pz, vx, vy, vz, stamp, depth, pvec, _h0, _h1) = final
         fields = (px, py, pz, vx, vy, vz, *a0, stamp, *id0)
         tile_pushes = jnp.sum(pvec, dtype=jnp.int32)
         tile_spawns = jnp.zeros((), jnp.int32)
@@ -558,9 +565,11 @@ def _worklog_kernel(
             stage_ref[f_hi * D + d, :, :] = _from_typed(c_hi)
             stage_ref[f_lo * D + d, :, :] = _from_typed(c_lo)
 
+        # suspension is folded into the stamp (packed <= _SUS_BASE), so
+        # is_live already excludes suspended lanes
         live_end = population.is_live(stamp)
-        finished = unf0 & live_end & (susp_t == 0)
-        suspended = unf0 & (susp_t != 0)
+        finished = unf0 & live_end
+        suspended = unf0 & _is_suspended(stamp)
 
         # ---- done stream: finished lanes, status reset to ALIVE ----
         done_vals = []
@@ -597,12 +606,10 @@ def _worklog_kernel(
         # point.  Emission order within a segment is unchanged, and
         # routing cannot change physics (draws are genealogy-keyed;
         # tests/test_worklog.py asserts multiset equality).
-        susp_status = _encode_suspended(susp_t, stamp)
         work_vals = []
         for f, name in enumerate(FIELD_NAMES):
+            # the stamp field already carries the packed suspended encoding
             v = _from_typed(fields[f])
-            if name == "status":
-                v = susp_status
             plane0 = jnp.where(suspended, v, 0)
             planes = [plane0] + [stage_ref[f * D + d, :, :] for d in range(D)]
             work_vals.append(jnp.concatenate(planes, axis=0))
