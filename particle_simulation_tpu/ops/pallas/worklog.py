@@ -451,7 +451,9 @@ def _worklog_kernel(
             # once — no separate susp_t carry array round-tripping VMEM
             # every iteration, and the end-of-pass emission reads the
             # already-packed status verbatim.
-            px, py, pz, vx, vy, vz, stamp, depth, pvec, h0, h1 = carry
+            # the band scalars ride the carry only in pipeband mode
+            px, py, pz, vx, vy, vz, stamp, depth, pvec, *hband = carry
+            h0, h1 = hband if pipeband else (None, None)
             p = Particles(
                 px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                 ax=a0[0], ay=a0[1], az=a0[2],
@@ -508,13 +510,15 @@ def _worklog_kernel(
             stamp_next = jnp.where(
                 suspend_now, _encode_suspended(t, np_.status), np_.status
             )
+            base = (
+                np_.px, np_.py, np_.pz, np_.vx, np_.vy, np_.vz,
+                stamp_next, depth, pvec,
+            )
             if pipeband:
                 may_act = unf0 & population.is_live(stamp_next)
                 h0, h1 = next_band(np_, may_act)
-            return (
-                np_.px, np_.py, np_.pz, np_.vx, np_.vy, np_.vz,
-                stamp_next, depth, pvec, h0, h1,
-            )
+                return base + (h0, h1)
+            return base
 
         zeros = jnp.zeros((S, LANES), jnp.int32)
         p_init = Particles(
@@ -523,25 +527,21 @@ def _worklog_kernel(
             ax=a0[0], ay=a0[1], az=a0[2],
             status=stamp0, id_hi=id0[0], id_lo=id0[1],
         )
-        # band for the first executed step: the integrator applied to the
-        # initial state (body computes step t+1's band from step t's output)
-        h0_init, h1_init = (
-            next_band(p_init, unf0 & population.is_live(stamp0))
-            if pipeband
-            else (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        )
         init = (
             *fields0[0:6],
             stamp0,
             zeros,                     # depth
             zeros,                     # per-lane push counts
-            h0_init,
-            h1_init,
         )
+        if pipeband:
+            # band for the first executed step: the integrator applied to
+            # the initial state (body computes step t+1's band from step
+            # t's output)
+            init = init + next_band(p_init, unf0 & population.is_live(stamp0))
 
         t0 = jnp.maximum(tile_first_t, 1)
         final = jax.lax.fori_loop(t0, t_steps + 1, body, init)
-        (px, py, pz, vx, vy, vz, stamp, depth, pvec, _h0, _h1) = final
+        (px, py, pz, vx, vy, vz, stamp, depth, pvec, *_hb) = final
         fields = (px, py, pz, vx, vy, vz, *a0, stamp, *id0)
         tile_pushes = jnp.sum(pvec, dtype=jnp.int32)
         tile_spawns = jnp.zeros((), jnp.int32)

@@ -66,6 +66,11 @@ BASE = SimConfig(
         # boolean lookup protocol (decided hits instead of f32
         # pseudo-chances) — bit-exact by the threshold exactness argument
         BASE.replace(lookup_hits=True, lookup_static_chunks=3),
+        # pipeband: the only mode that carries band scalars through the
+        # T-loop (they are dropped from the carry in every other mode)
+        pytest.param(
+            BASE.replace(lookup_mode="pipeband"), marks=pytest.mark.slow
+        ),
         # start-bucketed work-log emission (4 segment logs routed by first
         # execution step) — pure rescheduling, must stay bit-exact
         BASE.replace(worklog_start_buckets=4, poisson_timestep=9),
@@ -76,7 +81,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
-         "hits", "bucketed", "bucketed-suspend"],
+         "hits", "pipeband", "bucketed", "bucketed-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
