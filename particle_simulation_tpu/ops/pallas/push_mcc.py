@@ -527,16 +527,26 @@ def _mobility_kernel(
             in_refs[3].dtype,
         )
 
+        # acceleration and genealogy ids never mutate inside the phase —
+        # closure constants, not loop carries (same hoist as worklog.py);
+        # suspension is folded into the carried stamp (packed
+        # _encode_suspended <= _SUS_BASE), so the loop carries 8 (S, L)
+        # planes instead of 15
+        a_const = tuple(in_refs[6 + i][:, :] for i in range(3))
+        id_const = (in_refs[10][:, :], in_refs[11][:, :])
+
         def step_work(t, carry):
-            *fields, depth, susp, susp_t, pushes = carry
-            p = Particles(**dict(zip(FIELD_NAMES, fields)))
-            candidate = (
-                unf0 & population.is_live(p.status) & (t >= start0)
-                & (susp == 0)
+            px, py, pz, vx, vy, vz, stamp, depth, pushes = carry
+            p = Particles(
+                px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
+                ax=a_const[0], ay=a_const[1], az=a_const[2],
+                status=stamp, id_hi=id_const[0], id_lo=id_const[1],
             )
+            # within unf0 lanes the carried stamp is -1, >0, DEAD, or
+            # packed-suspended: stamp >= -1 is live-and-not-suspended
+            # exactly (empty-slot status 0 only occurs outside unf0)
+            candidate = unf0 & (stamp >= -1) & (t >= start0)
             suspend_now = candidate & (depth >= config.spawn_depth)
-            susp = susp | suspend_now.astype(jnp.int32)
-            susp_t = jnp.where(suspend_now, t, susp_t)
             active = candidate & ~suspend_now
             res = update_particles(
                 p,
@@ -565,29 +575,28 @@ def _mobility_kernel(
                 r[:, :, :] = jnp.where(sel, val[None], r[:, :, :])
             depth = depth + res.spawn.astype(jnp.int32)
             pushes = pushes + jnp.sum(active, dtype=jnp.int32)
-            return (*res.particles, depth, susp, susp_t, pushes)
+            np_ = res.particles
+            stamp_next = jnp.where(
+                suspend_now, _encode_suspended(t, np_.status), np_.status
+            )
+            return (
+                np_.px, np_.py, np_.pz, np_.vx, np_.vy, np_.vz,
+                stamp_next, depth, pushes,
+            )
 
         zeros = jnp.zeros((SUBLANES, LANES), jnp.int32)
         init = (
             jnp.maximum(tile_first_t, 1),
-            *(r[:, :] for r in in_refs[:9]),
+            *(r[:, :] for r in in_refs[:6]),
             stamp0,
-            in_refs[10][:, :],
-            in_refs[11][:, :],
             zeros,                       # depth
-            zeros,                       # suspended (i32 0/1: Mosaic can't
-                                         # carry i1 vectors through scf.while)
-            zeros,                       # suspension step
             jnp.zeros((), jnp.int32),    # pushes this pass
         )
 
         def loop_cond(carry):
             t = carry[0]
-            stamp = carry[10]
-            susp = carry[14]
-            return (t <= t_steps) & jnp.any(
-                unf0 & population.is_live(stamp) & (susp == 0)
-            )
+            stamp = carry[7]
+            return (t <= t_steps) & jnp.any(unf0 & (stamp >= -1))
 
         def loop_body(carry):
             t = carry[0]
@@ -595,9 +604,7 @@ def _mobility_kernel(
             return (t + 1,) + out
 
         final = jax.lax.while_loop(loop_cond, loop_body, init)[1:]
-        fields = final[:n_f]
-        depth, susp, susp_t, tile_pushes = final[n_f:]
-        stamp = fields[9]
+        (px, py, pz, vx, vy, vz, stamp, depth, tile_pushes) = final
 
         # Reconstruct the child id planes from (parent id, staged spawn
         # step): the same cipher call physics made at the spawn step, so
@@ -614,25 +621,18 @@ def _mobility_kernel(
         pushes_ref[0] = lo & ((1 << 30) - 1)
         pushes_ref[1] = pushes_ref[1] + (lo >> 30)
 
+        # died (DEAD) and suspended (already packed) lanes keep their
+        # carried stamp verbatim; survivors pack the finished encoding
         live_end = population.is_live(stamp)
         status_out = jnp.where(
-            ~unf0,
-            status0,
-            jnp.where(
-                ~live_end,
-                stamp,  # died this pass
-                jnp.where(
-                    susp != 0,
-                    _encode_suspended(susp_t, stamp),
-                    _encode_finished(stamp),
-                ),
-            ),
+            ~unf0, status0, jnp.where(live_end, _encode_finished(stamp), stamp)
         )
         # Inactive lanes pass through update_particles untouched, so every
         # non-status field in the carry already equals its input for lanes
         # that were not processed; only status needs the encode merge.
-        for j, (r_out, val) in enumerate(zip(out_refs, fields)):
-            r_out[:, :] = status_out if j == 9 else val
+        vals = (px, py, pz, vx, vy, vz, *a_const, status_out, *id_const)
+        for r_out, val in zip(out_refs, vals):
+            r_out[:, :] = val
 
 def _pad_tables(table):
     """(10000, 2) -> two (n_chunks, 128) f32 arrays, zero padded."""
