@@ -43,7 +43,11 @@ import time
 # instead of an empty driver capture (round-3 incident: the worker was
 # unavailable for hours and every client hung at init).
 _REEXEC_ENV = "BENCH_INIT_RETRIES"
-_MAX_INIT_RETRIES = 3
+# 10 x 120 s covers the tail of a worker outage (the Aug 18 incident kept
+# the backend down for hours); retries trigger ONLY on UNAVAILABLE, so a
+# healthy chip pays nothing.
+_MAX_INIT_RETRIES = 10
+_RETRY_WAIT_S = 120
 
 
 def _reexec_on_backend_failure(exc: Exception):
@@ -52,11 +56,11 @@ def _reexec_on_backend_failure(exc: Exception):
         raise exc
     print(
         f"# backend unavailable (attempt {tries + 1}/{_MAX_INIT_RETRIES}); "
-        "re-executing in 60 s",
+        f"re-executing in {_RETRY_WAIT_S} s",
         file=sys.stderr,
         flush=True,
     )
-    time.sleep(60)
+    time.sleep(_RETRY_WAIT_S)
     os.environ[_REEXEC_ENV] = str(tries + 1)
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
