@@ -9,7 +9,10 @@ Usage:  python -m particle_simulation_tpu 30 0 1000000 10 256 50000000 100 100
 Extra keyword-style overrides (grid=, cs=, seed=, precision=, mesh=N for a
 multi-chip run over an N-device mesh, ckpt=DIR, field=, platform=,
 bucket=0/1 to disable/enable capacity-ladder bucketing [default 1]) are
-accepted after the positional args — a new-framework extension.
+accepted after the positional args — a new-framework extension.  Any other
+scalar SimConfig field is also accepted as key=value (engine knobs like
+lookup_hits=1, kernel_sublanes=64, worklog_start_buckets=4), coerced by
+the field's type; unknown keys are a hard error.
 """
 
 from __future__ import annotations
@@ -87,7 +90,21 @@ def parse_args(argv) -> CliOptions:
 
             jax.config.update("jax_platforms", val)
         else:
-            raise SystemExit(f"unknown override {extra!r}")
+            # generic engine-knob passthrough: any scalar SimConfig field
+            # (e.g. lookup_hits=1, worklog_start_buckets=4,
+            # kernel_sublanes=64) coerced by its default's type; unknown
+            # keys stay a hard error (strict-CLI contract, ADVICE r1)
+            default = getattr(cfg, key, None)
+            if isinstance(default, bool):
+                cfg = cfg.replace(**{key: bool(int(val))})
+            elif isinstance(default, int):
+                cfg = cfg.replace(**{key: int(val)})
+            elif isinstance(default, float):
+                cfg = cfg.replace(**{key: float(val)})
+            elif isinstance(default, str):
+                cfg = cfg.replace(**{key: val})
+            else:
+                raise SystemExit(f"unknown override {extra!r}")
     if mode in SCHEDULER_MODES:
         cfg = cfg.replace(scheduler=SCHEDULER_MODES[mode])
     opts.config = cfg

@@ -53,6 +53,30 @@ def test_cli_mesh_override():
     assert opts.mesh == 4
 
 
+def test_cli_engine_knob_passthrough():
+    # any scalar SimConfig field is a valid override, coerced by type;
+    # unknown keys stay a hard error (strict-CLI contract, ADVICE r1)
+    import pytest
+
+    opts = parse_args(
+        ["30", "0", "1000", "7", "128", "5000", "100", "9",
+         "lookup_hits=1", "worklog_start_buckets=4", "kernel_sublanes=64",
+         "lookup_mode=staticguard"]
+    )
+    cfg = opts.config
+    assert cfg.lookup_hits is True
+    assert cfg.worklog_start_buckets == 4
+    assert cfg.kernel_sublanes == 64
+    assert cfg.lookup_mode == "staticguard"
+    with pytest.raises(SystemExit):
+        parse_args(["30", "0", "1000", "7", "128", "5000", "100", "9",
+                    "no_such_knob=1"])
+    with pytest.raises(SystemExit):
+        # non-scalar fields (grid_size) are not reachable this way
+        parse_args(["30", "0", "1000", "7", "128", "5000", "100", "9",
+                    "grid_size=16"])
+
+
 def test_run_pic_end_to_end(tmp_path):
     cfg = SimConfig(
         init_n=100, capacity=2000, poisson_steps=2, poisson_timestep=4,
