@@ -77,6 +77,12 @@ def parse_args(argv) -> CliOptions:
                 jax.config.update("jax_enable_x64", True)
         elif key == "field":
             cfg = cfg.replace(field_model=val)
+        elif key == "bfield":
+            # uniform cyclotron vector Ω = qB/m (rad/s) for integrator=boris
+            parts = tuple(float(x) for x in val.split(","))
+            if len(parts) != 3:
+                raise SystemExit("bfield takes three comma-separated floats")
+            cfg = cfg.replace(b_field=parts)
         elif key == "gridmode":
             cfg = cfg.replace(grid_mode=val)
         elif key == "ckpt":

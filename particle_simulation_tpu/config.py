@@ -82,6 +82,11 @@ class SimConfig:
     #                  "isotropic" (child emitted isotropically at parent speed)
     integrator: str = "leapfrog"
     collision_model: str = "reverse"
+    # Uniform magnetic field for the boris integrator, given as the signed
+    # cyclotron vector Ω = qB/m of the tracked species (rad/s).  (0,0,0)
+    # keeps the zero-B boris path bit-identical to before the option
+    # existed; ignored by the leapfrog (reference-parity) integrator.
+    b_field: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
     # (models/poisson_fft.py), the flagged fidelity upgrade.

@@ -12,12 +12,17 @@ Integrators (``SimConfig.integrator``, ops/physics.INTEGRATORS):
 * ``leapfrog`` (default) — the reference's kick-drift-kick with its
   v-minus-a sign convention and frozen per-Poisson-step acceleration
   (src/particle_move.cu:22-39): drift uses the mid-step velocity.
-* ``boris`` — zero-magnetic-field Boris push: the full velocity kick is
-  applied first (two symmetric half-kicks, no rotation at B=0), then the
-  drift uses the fully-updated velocity.  The standard PIC integrator for
-  magnetized plasmas; with B=0 it differs from leapfrog only in drift
-  phase, making it a genuinely distinct, testable model
-  (tests/test_models.py).
+* ``boris`` — Boris push: the full velocity kick is applied first (two
+  symmetric half-kicks), then the drift uses the fully-updated velocity.
+  The standard PIC integrator for magnetized plasmas; with B=0 it differs
+  from leapfrog only in drift phase, making it a genuinely distinct,
+  testable model (tests/test_models.py).  A uniform magnetic field is
+  supported via ``SimConfig.b_field`` (the signed cyclotron vector
+  Ω = qB/m in rad/s; CLI ``bfield=x,y,z``): the standard Boris rotation
+  v' = v⁻ + v⁻×t, v⁺ = v⁻ + v'×s with t = Ω·dt/2, s = 2t/(1+|t|²) runs
+  between the half-kicks — exactly energy-conserving for pure gyration,
+  deterministic and cadence-independent like everything else (the
+  rotation constants ride the hoisted kick tuple through every engine).
 
 Collision models (``SimConfig.collision_model``):
 

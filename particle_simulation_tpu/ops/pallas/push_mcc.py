@@ -519,14 +519,6 @@ def _mobility_kernel(
         )
         tile_first_t = jnp.min(jnp.where(unf0, start0, jnp.int32(_INF_START)))
 
-        # velocity-kick products are loop constants (acc never mutates)
-        kick0 = make_kick(
-            config.integrator,
-            tuple(in_refs[6 + i][:, :] for i in range(3)),
-            config.mobility_dt,
-            in_refs[3].dtype,
-        )
-
         # acceleration and genealogy ids never mutate inside the phase —
         # closure constants, not loop carries (same hoist as worklog.py);
         # suspension is folded into the carried stamp (packed
@@ -534,6 +526,15 @@ def _mobility_kernel(
         # planes instead of 15
         a_const = tuple(in_refs[6 + i][:, :] for i in range(3))
         id_const = (in_refs[10][:, :], in_refs[11][:, :])
+
+        # velocity-kick products are loop constants (acc never mutates)
+        kick0 = make_kick(
+            config.integrator,
+            a_const,
+            config.mobility_dt,
+            in_refs[3].dtype,
+            b_field=config.b_field,
+        )
 
         def step_work(t, carry):
             px, py, pz, vx, vy, vz, stamp, depth, pushes = carry

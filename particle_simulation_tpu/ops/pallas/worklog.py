@@ -428,14 +428,19 @@ def _worklog_kernel(
         )
         # the velocity-kick products a*dt/2 are loop constants too
         kick0 = make_kick(
-            config.integrator, a0, config.mobility_dt, a0[0].dtype
+            config.integrator, a0, config.mobility_dt, a0[0].dtype,
+            b_field=config.b_field,
         )
 
         def next_band(p_next, may_act):
             # band over lanes that may be ACTIVE next step (inactive lanes'
             # lookups are gated off in physics, and update_particles zeroes
-            # their lookup energy, so this matches the value band exactly)
-            moved = INTEGRATORS[config.integrator](p_next, config.mobility_dt)
+            # their lookup energy, so this matches the value band exactly).
+            # kick0 must be passed so the band integrator is the SAME
+            # expression the body runs (incl. the finite-B boris rotation).
+            moved = INTEGRATORS[config.integrator](
+                p_next, config.mobility_dt, kick0
+            )
             hi_n = energy_to_index(collision_energy(moved)) // LANES
             nz = may_act & (hi_n > 0)
             return (

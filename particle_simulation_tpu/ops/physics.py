@@ -68,18 +68,39 @@ def leapfrog(p: Particles, dt, kick=None) -> Particles:
 
 
 def boris(p: Particles, dt, kick=None) -> Particles:
-    """Boris push with zero magnetic field: full velocity kick first (two
-    symmetric half-kicks with no rotation between them), then drift with the
-    NEW velocity.  Distinct from the reference's leapfrog, which drifts with
-    the mid-step velocity (src/particle_move.cu:22-39); same sign convention
-    (v minus a*dt).  Selectable via SimConfig.integrator = 'boris'."""
+    """Boris push.  With zero magnetic field (a 3-tuple kick): full velocity
+    kick first (two symmetric half-kicks with no rotation between them),
+    then drift with the NEW velocity.  Distinct from the reference's
+    leapfrog, which drifts with the mid-step velocity
+    (src/particle_move.cu:22-39); same sign convention (v minus a*dt).
+
+    With a uniform magnetic field (``SimConfig.b_field`` nonzero; kick is
+    the 9-tuple from make_kick): the standard Boris rotation between the
+    half-kicks — v⁻ = v − h; v' = v⁻ + v⁻×t; v⁺ = v⁻ + v'×s with
+    s = 2t/(1+|t|²), t = Ω·dt/2; v_new = v⁺ − h — energy-conserving for
+    pure gyration (Boris 1970).  ``b_field`` is the signed cyclotron vector
+    Ω = qB/m of the tracked species in rad/s; the electric half-kick keeps
+    the framework's v−a convention.  Selectable via
+    SimConfig.integrator = 'boris'."""
     fdt = p.vx.dtype
     dt = jnp.asarray(dt, fdt)
     if kick is None:
         kick = make_kick("boris", (p.ax, p.ay, p.az), dt, fdt)
-    vx = p.vx - kick[0]
-    vy = p.vy - kick[1]
-    vz = p.vz - kick[2]
+    if len(kick) == 9:
+        hx, hy, hz, tx, ty, tz, sx, sy, sz = kick
+        vmx = p.vx - hx
+        vmy = p.vy - hy
+        vmz = p.vz - hz
+        v1x = vmx + (vmy * tz - vmz * ty)
+        v1y = vmy + (vmz * tx - vmx * tz)
+        v1z = vmz + (vmx * ty - vmy * tx)
+        vx = vmx + (v1y * sz - v1z * sy) - hx
+        vy = vmy + (v1z * sx - v1x * sz) - hy
+        vz = vmz + (v1x * sy - v1y * sx) - hz
+    else:
+        vx = p.vx - kick[0]
+        vy = p.vy - kick[1]
+        vz = p.vz - kick[2]
     px = p.px + vx * dt
     py = p.py + vy * dt
     pz = p.pz + vz * dt
@@ -89,7 +110,7 @@ def boris(p: Particles, dt, kick=None) -> Particles:
 INTEGRATORS = {"leapfrog": leapfrog, "boris": boris}
 
 
-def make_kick(integrator: str, acc, dt, fdt):
+def make_kick(integrator: str, acc, dt, fdt, b_field=None):
     """Precompute the integrator's velocity-kick terms from the (frozen)
     acceleration: a*dt/2 per leapfrog half-kick, a*dt for boris.
 
@@ -97,8 +118,24 @@ def make_kick(integrator: str, acc, dt, fdt):
     products are loop constants; the fused kernels compute them ONCE before
     the T-loop (the loop body is VMEM-bandwidth-bound — see worklog.py) and
     pass them via ``update_particles(kick=...)``.  The expression matches
-    the in-place computation op for op, so hoisting is bit-exact."""
+    the in-place computation op for op, so hoisting is bit-exact.
+
+    ``b_field`` (SimConfig.b_field: the signed cyclotron vector Ω = qB/m,
+    rad/s) selects the finite-B boris variant: the return becomes the
+    9-tuple (half-kick a·dt/2 ×3, rotation t = Ω·dt/2 ×3, s = 2t/(1+|t|²)
+    ×3) consumed by ``boris``.  The B=0 boris path is untouched (a single
+    full kick, bit-identical to before the b_field option existed)."""
     dt = jnp.asarray(dt, fdt)
+    if (
+        integrator == "boris"
+        and b_field is not None
+        and any(float(b) != 0.0 for b in b_field)
+    ):
+        half = tuple(a.astype(fdt) * (dt / 2) for a in acc)
+        t = tuple(jnp.asarray(b, fdt) * (dt / 2) for b in b_field)
+        t2 = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+        s = tuple(ti * (2.0 / (1.0 + t2)) for ti in t)
+        return half + t + s
     scale = dt / 2 if integrator == "leapfrog" else dt
     return tuple(a.astype(fdt) * scale for a in acc)
 

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from .config import SimConfig
 from .state import SimState
 from .ops import population
-from .ops.physics import StepResult, update_particles
+from .ops.physics import StepResult, make_kick, update_particles
 from .ops.step import (
     active_mask,
     make_table_lookup,
@@ -83,6 +83,13 @@ def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_h
         integrator=config.integrator,
         collision_model=config.collision_model,
         table_lookup=make_table_lookup(table),
+        # the kick carries the finite-B boris rotation constants; built from
+        # the same expression the fused kernels hoist, so cadences stay
+        # bit-exact for any (integrator, b_field)
+        kick=make_kick(
+            config.integrator, (p.ax, p.ay, p.az), config.mobility_dt,
+            p.vx.dtype, b_field=config.b_field,
+        ),
     )
     state = particles_to_state(state, res.particles)
     state = population.append_children(state, res.spawn, res.child)
