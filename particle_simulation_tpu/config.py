@@ -87,6 +87,11 @@ class SimConfig:
     # keeps the zero-B boris path bit-identical to before the option
     # existed; ignored by the leapfrog (reference-parity) integrator.
     b_field: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Domain boundary: "absorb" = reference parity (out-of-bounds kills the
+    # particle before the collision roll, src/particle_move.cu:41-52);
+    # "periodic" wraps positions into [0, size) — deaths come only from
+    # absorption collisions.
+    boundary: str = "absorb"
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
     # (models/poisson_fft.py), the flagged fidelity upgrade.

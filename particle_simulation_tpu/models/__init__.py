@@ -45,6 +45,14 @@ momentum is distributed:
   programs, so cross-engine comparisons of velocity payloads use a tight
   tolerance rather than bit equality (tests/test_models.py).
 
+Boundary models (``SimConfig.boundary``):
+
+* ``absorb`` (default) — the reference's kill-at-bounds: an out-of-bounds
+  particle dies before the collision roll (src/particle_move.cu:41-52).
+* ``periodic`` — positions wrap into [0, size) per axis (the common PIC
+  box); deaths come only from absorption collisions.  The wrap guards the
+  f32 edge where mod(-eps, s) rounds to s (ops/physics.wrap_periodic).
+
 Field models (``SimConfig.field_model``):
 
 * ``neighbour`` (default) — the reference's nearest-cell count deposition

@@ -564,6 +564,7 @@ def _mobility_kernel(
                 collision_model=config.collision_model,
                 table_lookup=functools.partial(lookup, split_ref, remove_ref, None),
                 kick=kick0,
+                boundary=config.boundary,
             )
             # active lanes always have depth < spawn_depth (suspension
             # pre-empts), so no child is ever dropped.

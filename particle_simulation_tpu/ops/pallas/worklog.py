@@ -494,6 +494,7 @@ def _worklog_kernel(
                 collision_model=config.collision_model,
                 table_lookup=table_lookup,
                 kick=kick0,
+                boundary=config.boundary,
             )
             sel3 = (depth_iota == depth[None]) & res.spawn[None]
             child = res.child

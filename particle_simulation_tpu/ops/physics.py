@@ -169,6 +169,25 @@ def collision_energy(p: Particles):
     return p.vx * p.vx + p.vy * p.vy + p.vz * p.vz
 
 
+def wrap_periodic(p: Particles, sim_size) -> Particles:
+    """Wrap positions into [0, size) per axis (SimConfig.boundary =
+    'periodic').  jnp.mod keeps the divisor's sign, so negatives wrap high;
+    the final clip guards the f32 edge case where mod(-eps, s) rounds to s
+    exactly (which would index one cell past the grid in deposition)."""
+    import numpy as np
+
+    def wrap(x, s):
+        d = np.dtype(x.dtype)
+        hi = jnp.asarray(np.nextafter(d.type(s), d.type(0)), x.dtype)
+        return jnp.clip(jnp.mod(x, jnp.asarray(s, x.dtype)), 0, hi)
+
+    return p._replace(
+        px=wrap(p.px, sim_size[0]),
+        py=wrap(p.py, sim_size[1]),
+        pz=wrap(p.pz, sim_size[2]),
+    )
+
+
 def update_particles(
     p: Particles,
     active,
@@ -184,6 +203,7 @@ def update_particles(
     integrator: str = "leapfrog",
     collision_model: str = "reverse",
     kick=None,
+    boundary: str = "absorb",
 ) -> StepResult:
     """One mobility step for every lane; inactive lanes pass through.
 
@@ -195,12 +215,22 @@ def update_particles(
     the two comparison outcomes below — e.g. (0, 0) for a lane that provably
     cannot collide, or (101, 0) for one that provably splits (u < 100).
 
-    ``integrator``/``collision_model`` are static model selections
-    (SimConfig.integrator / .collision_model), shared by every engine so
-    cadence equivalence holds for any choice.
+    ``integrator``/``collision_model``/``boundary`` are static model
+    selections (SimConfig fields), shared by every engine so cadence
+    equivalence holds for any choice.  boundary='absorb' is the reference's
+    kill-at-bounds (src/particle_move.cu:41-52, checked before the
+    collision roll); 'periodic' wraps positions instead — nothing leaves
+    the domain, deaths come only from absorption collisions.
     """
     moved = INTEGRATORS[integrator](p, dt, kick)
-    oob = out_of_bounds(moved, sim_size)
+    if boundary == "periodic":
+        moved = wrap_periodic(moved, sim_size)
+        in_dom = active
+        oob_kill = None
+    else:
+        oob = out_of_bounds(moved, sim_size)
+        in_dom = active & ~oob
+        oob_kill = active & oob
 
     u, child_hi, child_lo = rng.step_draws(
         seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0, rounds=rng_rounds
@@ -219,8 +249,8 @@ def update_particles(
         # the fused kernels' spill-bound T-loop)
         bits = child_lo ^ jnp.uint32(rng.GOLDEN)
         s_hit, t_hit = table_lookup(energy, u, bits)
-        splits = active & ~oob & s_hit
-        dies_mcc = active & ~oob & ~splits & t_hit
+        splits = in_dom & s_hit
+        dies_mcc = in_dom & ~splits & t_hit
     else:
         if table_lookup is not None:
             # the raw draw payload (step_draws returns b0 ^ GOLDEN as
@@ -229,9 +259,9 @@ def update_particles(
             bits = child_lo ^ jnp.uint32(rng.GOLDEN)
             split_chance, remove_chance = table_lookup(energy, u, bits)
         u = u.astype(split_chance.dtype)
-        splits = active & ~oob & (u < split_chance)
-        dies_mcc = active & ~oob & ~splits & (u < split_chance + remove_chance)
-    dies = (active & oob) | dies_mcc
+        splits = in_dom & (u < split_chance)
+        dies_mcc = in_dom & ~splits & (u < split_chance + remove_chance)
+    dies = dies_mcc if oob_kill is None else oob_kill | dies_mcc
     t_i32 = jnp.asarray(t, jnp.int32)
 
     if collision_model == "reverse":

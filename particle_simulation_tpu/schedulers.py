@@ -90,6 +90,7 @@ def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_h
             config.integrator, (p.ax, p.ay, p.az), config.mobility_dt,
             p.vx.dtype, b_field=config.b_field,
         ),
+        boundary=config.boundary,
     )
     state = particles_to_state(state, res.particles)
     state = population.append_children(state, res.spawn, res.child)

@@ -176,6 +176,54 @@ def test_boris_b_field_changes_trajectories(const_table):
     assert a.shape != b.shape or not np.array_equal(a, b)
 
 
+def test_wrap_periodic_maps_into_domain():
+    from particle_simulation_tpu.ops.physics import wrap_periodic
+
+    size = (5.12, 5.12, 5.12)
+    vals = jnp.asarray(
+        [-1e-8, -0.5, 0.0, 2.0, 5.12, 5.12 + 0.25, 17.0, -11.0], jnp.float32
+    )
+    z = jnp.zeros_like(vals)
+    p = _particles(n=8)._replace(px=vals, py=z, pz=z)
+    w = wrap_periodic(p, size)
+    x = np.asarray(w.px, np.float64)
+    assert np.all(x >= 0) and np.all(x < 5.12)
+    # plain in-domain values pass through untouched
+    np.testing.assert_array_equal(x[2:4], [0.0, 2.0])
+    # wraps land where modular arithmetic says (f32 tolerance)
+    np.testing.assert_allclose(x[5], 0.25, rtol=1e-5)
+    np.testing.assert_allclose(x[1], 5.12 - 0.5, rtol=1e-6)
+
+
+def test_periodic_boundary_keeps_population(const_table):
+    """With periodic wrapping nothing leaves the domain: live positions
+    stay in [0, size) after multiple Poisson steps."""
+    cfg = SimConfig(
+        init_n=150, capacity=4096, poisson_steps=2, poisson_timestep=5,
+        grid_size=(16, 16, 16), scheduler="sync", boundary="periodic",
+    )
+    state = setup_particles(cfg)
+    for t in range(cfg.poisson_steps):
+        state, m = poisson_step(state, jnp.uint32(t), const_table, cfg)
+    n = int(m["n"])
+    pos = np.asarray(state.pos)[:n]
+    assert np.all(pos >= 0) and np.all(pos < cfg.sim_size[0])
+
+
+@pytest.mark.slow
+def test_periodic_boundary_cadence_independent(const_table):
+    base = SimConfig(
+        init_n=150, capacity=4096, poisson_steps=2, poisson_timestep=5,
+        grid_size=(16, 16, 16), kernel_sublanes=8, boundary="periodic",
+    )
+    arr_sync, n_sync = _run(base.replace(scheduler="sync"), const_table)
+    arr_naive, n_naive = _run(base.replace(scheduler="naive"), const_table)
+    arr_dyn, n_dyn = _run(base.replace(scheduler="dynamic"), const_table)
+    assert n_sync == n_naive == n_dyn
+    np.testing.assert_array_equal(arr_sync, arr_naive)
+    np.testing.assert_array_equal(arr_sync, arr_dyn)
+
+
 @pytest.mark.slow
 def test_boris_cadence_independent(const_table):
     """The alternative integrator preserves the scheduler-equivalence
