@@ -92,6 +92,11 @@ class SimConfig:
     # "periodic" wraps positions into [0, size) — deaths come only from
     # absorption collisions.
     boundary: str = "absorb"
+    # Per-axis thermal speed (m/s) for Maxwellian initial velocities
+    # (state.setup_particles): each velocity component draws
+    # init_vth * N(0, 1) from the slot's genealogy stream.  0.0 = the
+    # reference's zero-velocity initialization.
+    init_vth: float = 0.0
     # Field model: "neighbour" = reference-parity local charge difference
     # (src/grid_operations.cu:29-56); "fft" = true spectral Poisson solve
     # (models/poisson_fft.py), the flagged fidelity upgrade.

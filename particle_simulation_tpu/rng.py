@@ -118,3 +118,23 @@ def setup_uniform(id_hi, id_lo, axis, lo, hi):
         id_hi, id_lo, jnp.uint32(SETUP_CTR), jnp.asarray(axis, jnp.uint32)
     )
     return uniform_from_bits(b0, lo, hi)
+
+
+def setup_gaussian(id_hi, id_lo, axis):
+    """Standard-normal draw per slot for thermal velocity initialization
+    (SimConfig.init_vth; a new-framework extension — the reference's initial
+    velocities are zero).  Box–Muller over a counter stream disjoint from
+    the position draws (axis+8 vs axis 0..2 under the same SETUP_CTR), keyed
+    by genealogy id so the values are shard- and order-independent."""
+    b0, b1 = threefry2x32(
+        id_hi, id_lo, jnp.uint32(SETUP_CTR), jnp.asarray(axis + 8, jnp.uint32)
+    )
+    # clamp away u1 = 0 (log(0) = -inf); 2^-25 is below the 24-bit draw's
+    # granularity so no other value is affected
+    u1 = jnp.maximum(uniform_from_bits(b0), jnp.float32(2**-25))
+    u2 = uniform_from_bits(b1)
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+    return r * jnp.cos(jnp.float32(2.0 * _PI) * u2)
+
+
+_PI = 3.141592653589793

@@ -94,8 +94,23 @@ def setup_particles(config: SimConfig, slot_offset: int = 0) -> SimState:
     pos = jnp.stack(axes, axis=1)
 
     active = jnp.arange(c) < init_n
+    vel = st.vel
+    if config.init_vth:
+        # Maxwellian thermal start (new-framework extension): each component
+        # is init_vth * N(0,1) from the slot's genealogy stream — shard- and
+        # order-independent like every other draw
+        vth = jnp.asarray(config.init_vth, fdt)
+        vel = jnp.stack(
+            [
+                vth * rng.setup_gaussian(id_hi, id_lo, ax).astype(fdt)
+                for ax in range(3)
+            ],
+            axis=1,
+        )
+        vel = jnp.where(active[:, None], vel, 0)
     return st._replace(
         pos=jnp.where(active[:, None], pos, 0),
+        vel=vel,
         status=jnp.where(active, STATUS_ALIVE, STATUS_EMPTY).astype(jnp.int32),
         id_hi=jnp.where(active, id_hi, 0),
         id_lo=jnp.where(active, id_lo, 0),

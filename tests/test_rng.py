@@ -74,3 +74,38 @@ def test_setup_uniform_in_box():
     ids_hi, ids_lo = rng.initial_ids(39587, np.arange(1000))
     x = np.asarray(rng.setup_uniform(ids_hi, ids_lo, 0, 2.26, 2.88))
     assert x.min() >= 2.26 and x.max() < 2.88
+
+
+def test_setup_gaussian_stats_and_determinism():
+    """Thermal-init draws (SimConfig.init_vth) are standard normal per axis,
+    deterministic, and disjoint from the position draws' counter stream."""
+    n = 16384
+    ids_hi, ids_lo = rng.initial_ids(39587, np.arange(n))
+    z = np.asarray(rng.setup_gaussian(ids_hi, ids_lo, 0), np.float64)
+    assert abs(z.mean()) < 4 / np.sqrt(n)
+    assert abs(z.std() - 1.0) < 0.03
+    # deterministic
+    z2 = np.asarray(rng.setup_gaussian(ids_hi, ids_lo, 0))
+    np.testing.assert_array_equal(z.astype(np.float32), z2)
+    # axes independent-ish: distinct values, low correlation
+    z1 = np.asarray(rng.setup_gaussian(ids_hi, ids_lo, 1), np.float64)
+    assert not np.array_equal(z, z1)
+    assert abs(np.corrcoef(z, z1)[0, 1]) < 0.03
+    # finite even at the u1=0 clamp boundary
+    assert np.isfinite(z).all()
+
+
+def test_setup_particles_thermal_velocities():
+    from particle_simulation_tpu import SimConfig, setup_particles
+
+    cfg = SimConfig(init_n=4096, capacity=8192, grid_size=(64, 64, 64),
+                    init_vth=250.0)
+    st = setup_particles(cfg)
+    v = np.asarray(st.vel, np.float64)
+    live = v[:4096]
+    assert np.all(v[4096:] == 0)          # empty slots stay zero
+    assert abs(live.mean()) < 4 * 250 / np.sqrt(3 * 4096)
+    assert abs(live.std() - 250.0) < 250 * 0.05
+    # default stays the reference's zero-velocity start
+    st0 = setup_particles(cfg.replace(init_vth=0.0))
+    assert np.all(np.asarray(st0.vel) == 0)
