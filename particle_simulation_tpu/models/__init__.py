@@ -45,6 +45,14 @@ momentum is distributed:
   programs, so cross-engine comparisons of velocity payloads use a tight
   tolerance rather than bit equality (tests/test_models.py).
 
+Initialization (``SimConfig.init_vth``):
+
+* ``0.0`` (default) — the reference's zero-velocity start
+  (src/particle_move.cu:7-19 modulo its uninitialized-struct quirk).
+* ``vth > 0`` — Maxwellian thermal start: each velocity component draws
+  vth·N(0,1) from the slot's genealogy stream (rng.setup_gaussian),
+  shard- and order-independent like every other draw.
+
 Boundary models (``SimConfig.boundary``):
 
 * ``absorb`` (default) — the reference's kill-at-bounds: an out-of-bounds
