@@ -8,8 +8,9 @@ with MODE in {bench, 30 (Dynamic), 31 (CPU Sync), 32 (Naive),
 Usage:  python -m particle_simulation_tpu 30 0 1000000 10 256 50000000 100 100
 Extra keyword-style overrides (grid=, cs=, seed=, precision=, mesh=N for a
 multi-chip run over an N-device mesh, ckpt=DIR, field=, platform=,
-bucket=0/1 to disable/enable capacity-ladder bucketing [default 1]) are
-accepted after the positional args — a new-framework extension.  Any other
+bucket=0/1 to disable/enable capacity-ladder bucketing [default 1];
+bench mode: profile=ci|quick|full and resume=0/1) are accepted after the
+positional args — a new-framework extension.  Any other
 scalar SimConfig field is also accepted as key=value (engine knobs like
 lookup_hits=1, kernel_sublanes=64, worklog_start_buckets=4), coerced by
 the field's type; unknown keys are a hard error.
@@ -32,6 +33,8 @@ class CliOptions:
     mesh: int = 0          # 0 = single chip; N = shard over an N-device mesh
     bucket: bool = True    # capacity-ladder bucketing (bucket=0 to run every
     # step at full MAX_N capacity, the literal reference shape)
+    bench_profile: str = "full"   # bench mode: profile=ci|quick|full
+    bench_resume: bool = False    # bench mode: resume=1 continues the CSV
 
 
 def parse_args(argv) -> CliOptions:
@@ -91,6 +94,12 @@ def parse_args(argv) -> CliOptions:
             opts.mesh = int(val)
         elif key == "bucket":
             opts.bucket = bool(int(val))
+        elif key == "profile":
+            if val not in ("ci", "quick", "full"):
+                raise SystemExit("profile must be ci, quick, or full")
+            opts.bench_profile = val
+        elif key == "resume":
+            opts.bench_resume = bool(int(val))
         elif key == "platform":
             import jax
 
@@ -162,7 +171,7 @@ def main(argv=None) -> int:
     if mode == "bench":
         from .benchmarks import run_benchmark
 
-        run_benchmark()
+        run_benchmark(profile=opts.bench_profile, resume=opts.bench_resume)
     elif mode in SCHEDULER_MODES:
         if opts.mesh:
             _run_sharded(opts)
