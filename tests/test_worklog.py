@@ -66,6 +66,13 @@ BASE = SimConfig(
         # boolean lookup protocol (decided hits instead of f32
         # pseudo-chances) — bit-exact by the threshold exactness argument
         BASE.replace(lookup_hits=True, lookup_static_chunks=3),
+        # hits x guard: the A/B combo candidate (band-gated static visits
+        # returning booleans) — must stay bit-exact before it can win
+        pytest.param(
+            BASE.replace(lookup_hits=True, lookup_mode="staticguard",
+                         lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         # pipeband: the only mode that carries band scalars through the
         # T-loop (they are dropped from the carry in every other mode)
         pytest.param(
@@ -81,7 +88,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
-         "hits", "pipeband", "bucketed", "bucketed-suspend"],
+         "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
