@@ -85,20 +85,28 @@ def run_variant(name, overrides, table):
             w = _bucket_size(w + 1, config.capacity)
             continue
         break
+    final_n = int(state.n)
     print(
         f"{name:12s} warm {warm_s:6.1f}s  best {max(rates):.4g} pushes/s  "
-        f"all {[f'{r:.3g}' for r in rates]}",
+        f"all {[f'{r:.3g}' for r in rates]}  final_n={final_n}",
         flush=True,
     )
-    return max(rates)
+    return max(rates), final_n
 
 
 def main():
     names = sys.argv[1:] or list(VARIANTS)
     table = load_table()
-    results = {}
+    results, finals = {}, {}
     for name in names:
-        results[name] = run_variant(name, VARIANTS[name], table)
+        results[name], finals[name] = run_variant(name, VARIANTS[name], table)
+    # every variant is bit-exact physics by construction — a divergent
+    # final population means a miscompiled variant, which must never win
+    if len(set(finals.values())) > 1:
+        print(f"WARNING: final_n DIVERGES across variants: {finals}")
+        ok = {n for n, f in finals.items() if f == finals.get("base", None)}
+        results = {n: r for n, r in results.items() if n in ok}
+        print(f"ranking only base-consistent variants: {sorted(ok)}")
     best = max(results, key=results.get)
     print(f"winner: {best} at {results[best]:.4g} pushes/s")
 
