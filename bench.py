@@ -43,11 +43,53 @@ import time
 # instead of an empty driver capture (round-3 incident: the worker was
 # unavailable for hours and every client hung at init).
 _REEXEC_ENV = "BENCH_INIT_RETRIES"
-# 10 x 120 s covers the tail of a worker outage (the Aug 18 incident kept
-# the backend down for hours); retries trigger ONLY on UNAVAILABLE, so a
-# healthy chip pays nothing.
-_MAX_INIT_RETRIES = 10
+# Each re-exec'd attempt first WAITS for the backend with cheap bounded
+# subprocess probes (a dead worker hangs the raw client ~25 min; a killed
+# probe subprocess costs 150 s), so 3 re-execs x 6 h of probing rides out
+# even the Aug 18-style multi-hour outage.  Retries trigger ONLY on
+# UNAVAILABLE and the first attempt never probes, so a healthy chip pays
+# nothing.
+_MAX_INIT_RETRIES = 3
 _RETRY_WAIT_S = 120
+_PROBE_TIMEOUT_S = 150
+_PROBE_BUDGET_S = 6 * 3600
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "assert float(jnp.sum(jnp.arange(8.0))) == 28.0"
+)
+
+
+def _wait_for_backend(budget_s=_PROBE_BUDGET_S):
+    """Block until a bounded subprocess can run a trivial jax program.
+
+    Returns True if the backend answered within the budget.  Probing in a
+    subprocess keeps THIS process clean: a jax backend that fails to
+    initialize poisons the process for good, so the probe must die with
+    the attempt.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=_PROBE_TIMEOUT_S,
+                check=True,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                return False
+            print(
+                f"# backend probe failed; retrying "
+                f"({(deadline - time.monotonic()) / 60:.0f} min of budget left)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(_RETRY_WAIT_S)
 
 
 def _reexec_on_backend_failure(exc: Exception):
@@ -167,6 +209,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if int(os.environ.get(_REEXEC_ENV, "0")) > 0:
+        # Re-exec'd after a backend loss: wait (cheaply, in subprocesses)
+        # for the worker to come back before touching jax in-process.
+        _wait_for_backend()
     try:
         main()
     except Exception as e:  # noqa: BLE001 — re-exec only on backend loss
