@@ -33,6 +33,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -107,6 +108,67 @@ def _reexec_on_backend_failure(exc: Exception):
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+# The chip is SINGLE-TENANT: a background sweep contending with this
+# capture once turned 0.9 s/step into 140 s/step, and best-of-N windows
+# cannot save a capture that is contended for its whole duration.  The
+# session's chip work queue (/tmp/chip_queue.sh) therefore supports
+# cooperative preemption: this benchmark outranks queued sweep/A/B work,
+# so on startup it writes the queue's stop sentinel and SIGTERMs the pids
+# the queue runner published (pid FILES only — never pattern matching,
+# which can match this very process's ancestry).  Queue phases are
+# resumable, so nothing is lost beyond the interrupted row.
+_QUEUE_PID_FILE = "/tmp/chip_queue.pid"
+_QUEUE_CHILD_PID_FILE = "/tmp/chip_queue_child.pid"
+_QUEUE_STOP_FILE = "/tmp/chip_queue_stop"
+_PREEMPT_SKIP_ENV = "BENCH_NO_PREEMPT"
+
+
+def _read_pid(path):
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _preempt_chip_queue(sleep=time.sleep):
+    """Stop the session's chip work queue before the timed capture.
+
+    Returns True if a live queue runner was found and preempted."""
+    if os.environ.get(_PREEMPT_SKIP_ENV):
+        return False
+    qpid = _read_pid(_QUEUE_PID_FILE)
+    if qpid is None or not _pid_alive(qpid):
+        return False
+    # sentinel FIRST: the runner checks it before starting any new phase
+    with open(_QUEUE_STOP_FILE, "w") as f:
+        f.write(f"bench.py pid {os.getpid()}\n")
+    for path, whole_group in (
+        (_QUEUE_PID_FILE, False),       # the runner itself
+        (_QUEUE_CHILD_PID_FILE, True),  # the current phase's process group
+    ):
+        pid = _read_pid(path)
+        if pid is None:
+            continue
+        try:
+            os.kill(-pid if whole_group else pid, signal.SIGTERM)
+        except (ProcessLookupError, PermissionError):
+            pass
+    print("# preempted the chip work queue for this capture", file=sys.stderr)
+    sleep(5)  # let in-flight dispatches drain off the chip
+    return True
+
+
 import jax.numpy as jnp
 
 BASELINE_PUSHES_PER_SEC = 1e9  # north star (BASELINE.json)
@@ -146,6 +208,7 @@ def _run_windows(state, table, cfg_w, first_index):
 
 
 def main():
+    _preempt_chip_queue()
     from particle_simulation_tpu import SimConfig, setup_particles
     from particle_simulation_tpu.cross_section import load_table
     from particle_simulation_tpu.ops.step import poisson_loop

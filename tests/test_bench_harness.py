@@ -71,3 +71,72 @@ def test_wait_for_backend_honors_budget_on_dead_worker(bench_mod, monkeypatch):
     monkeypatch.setattr(bench_mod, "_PROBE_SRC", "raise SystemExit(1)")
     monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
     assert bench_mod._wait_for_backend(budget_s=0) is False
+
+
+def _point_queue_files_at(bench_mod, monkeypatch, tmp_path):
+    pid_file = tmp_path / "queue.pid"
+    child_file = tmp_path / "child.pid"
+    stop_file = tmp_path / "stop"
+    monkeypatch.setattr(bench_mod, "_QUEUE_PID_FILE", str(pid_file))
+    monkeypatch.setattr(bench_mod, "_QUEUE_CHILD_PID_FILE", str(child_file))
+    monkeypatch.setattr(bench_mod, "_QUEUE_STOP_FILE", str(stop_file))
+    return pid_file, child_file, stop_file
+
+
+def test_preempt_noop_without_queue(bench_mod, monkeypatch, tmp_path):
+    _, _, stop = _point_queue_files_at(bench_mod, monkeypatch, tmp_path)
+    monkeypatch.delenv(bench_mod._PREEMPT_SKIP_ENV, raising=False)
+    assert bench_mod._preempt_chip_queue(sleep=lambda s: None) is False
+    assert not stop.exists()
+
+
+def test_preempt_noop_on_stale_pid_file(bench_mod, monkeypatch, tmp_path):
+    # a pid file left by a long-dead runner must not trigger a preemption
+    pid_file, _, stop = _point_queue_files_at(bench_mod, monkeypatch, tmp_path)
+    monkeypatch.delenv(bench_mod._PREEMPT_SKIP_ENV, raising=False)
+    pid_file.write_text("999999999")  # beyond pid_max: never alive
+    assert bench_mod._preempt_chip_queue(sleep=lambda s: None) is False
+    assert not stop.exists()
+
+
+def test_preempt_skipped_via_env(bench_mod, monkeypatch, tmp_path):
+    import subprocess
+    import sys as _sys
+
+    pid_file, _, stop = _point_queue_files_at(bench_mod, monkeypatch, tmp_path)
+    proc = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        pid_file.write_text(str(proc.pid))
+        monkeypatch.setenv(bench_mod._PREEMPT_SKIP_ENV, "1")
+        assert bench_mod._preempt_chip_queue(sleep=lambda s: None) is False
+        assert not stop.exists()
+        assert proc.poll() is None  # untouched
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_preempt_stops_live_queue(bench_mod, monkeypatch, tmp_path):
+    # live runner + live phase group: sentinel written first, both TERMed
+    import subprocess
+    import sys as _sys
+
+    pid_file, child_file, stop = _point_queue_files_at(bench_mod, monkeypatch, tmp_path)
+    monkeypatch.delenv(bench_mod._PREEMPT_SKIP_ENV, raising=False)
+    runner = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(60)"])
+    phase = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(60)"],
+        start_new_session=True,  # own process group, like the queue's setsid
+    )
+    try:
+        pid_file.write_text(str(runner.pid))
+        child_file.write_text(str(phase.pid))
+        assert bench_mod._preempt_chip_queue(sleep=lambda s: None) is True
+        assert stop.exists()
+        assert runner.wait(timeout=10) != 0
+        assert phase.wait(timeout=10) != 0
+    finally:
+        for p in (runner, phase):
+            if p.poll() is None:
+                p.kill()
+                p.wait()
