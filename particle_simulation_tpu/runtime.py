@@ -215,7 +215,15 @@ def run_pic(
             print("Hit 0")
             break
 
-    if on_step is not None and config.verbose:
+    # final-state log rides the same cadence gate as the per-step ones: the
+    # reference's end-of-run log(verbose, poisson_steps, ...) is a plain
+    # log() call whose t % verbose check applies (src/pic.cu:561,
+    # src/utility.cu log's early return)
+    if (
+        on_step is not None
+        and config.verbose
+        and config.poisson_steps % config.verbose == 0
+    ):
         on_step(config.poisson_steps, state)
 
     final_n = int(state.n)

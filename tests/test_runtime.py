@@ -90,7 +90,17 @@ def test_run_pic_end_to_end(tmp_path):
 
     cfg_v = cfg.replace(verbose=1)
     run = run_pic(cfg_v, on_step=lambda t, s: hooks.append(t), print_header=False)
-    assert hooks  # hook fired
+    # verbose=1 logs every Poisson step INCLUDING the end-of-run state
+    # (reference: log() at src/pic.cu:494 per step + :561 after the loop)
+    assert hooks == [0, 1, 2]
+
+    # the final log rides the same t % verbose gate as the per-step ones
+    # (src/pic.cu:561 is a plain log() call; src/utility.cu's early return
+    # applies): verbose=5 with 2 Poisson steps logs only t=0
+    hooks.clear()
+    run_pic(cfg.replace(verbose=5), on_step=lambda t, s: hooks.append(t),
+            print_header=False)
+    assert hooks == [0]
 
 
 def test_timing_csv_schema(tmp_path):
