@@ -102,7 +102,13 @@ def mobility_phase_naive(
 ):
     """All live slots advance together, one fori_loop iteration per step.
     ``t_steps`` (the mobility-step count) is traced, so one compilation
-    covers every sweep point."""
+    covers every sweep point.
+
+    Deliberate divergence: the reference's Naive host loop additionally
+    calls log() after EVERY mobility step (src/pic.cu:528) — but passes the
+    base double-buffer pointer instead of the active half, so odd Poisson
+    steps dump the stale buffer (a latent reference bug).  We keep verbose
+    logging at the Poisson-step cadence for all schedulers."""
 
     def body(t, carry):
         st, lo, hi = carry
