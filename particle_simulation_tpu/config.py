@@ -68,6 +68,22 @@ class SimConfig:
     # measured by scripts/analyse_probe_structure.py at the bench point).
     # 1 = single mixed log (the round-2 behavior).
     worklog_start_buckets: int = 1
+    # Work-log sweep HORIZON: each tile advances at most this many mobility
+    # steps per pass (upper = min(t0 + K - 1, T)); still-live lanes re-emit
+    # as suspended work (resume = upper + 1) through the existing packing.
+    # Bounds POST-DEATH idle slots at K-1 (a dead lane otherwise burns
+    # T - death_step slots: scripts/probe_horizon.py measured 45% of all
+    # swept slots at the bench point).  Requires worklog_start_buckets > 1
+    # to be effective — routing switches to MODULAR WINDOWS of width K
+    # (segment = ((start-2)//K) mod n_seg), which keeps within-segment
+    # start spread <= K at ANY T.  Emissions concentrate into ~2 windows
+    # per pass, so the auto work-log sizing grows by n_seg (memory!).
+    # 0 = off (sweep to T, the round-2/3 behavior).
+    worklog_horizon: int = 0
+    # Align horizon windows to the global step grid (upper = end of t0's
+    # window) so resumes cluster exactly at window boundaries: fewer idle
+    # slots (probe: 0.542 -> 0.619 at K=32/4 segments), a few more passes.
+    worklog_align: bool = False
     lookup_mode: str = "staticthresh"  # staticthresh|staticguard|statichybrid|band0|pipeband|threshold|needband|minmax
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
     # Threshold-family lookups return decided booleans instead of f32

@@ -546,8 +546,36 @@ def _worklog_kernel(
             init = init + next_band(p_init, unf0 & population.is_live(stamp0))
 
         t0 = jnp.maximum(tile_first_t, 1)
-        final = jax.lax.fori_loop(t0, t_steps + 1, body, init)
+        hz = config.worklog_horizon
+        if hz:
+            # horizon sweep: advance at most hz steps from this tile's own
+            # t0 (or to the end of t0's width-hz window when aligned, so
+            # resumes cluster at window boundaries).  Bounds post-death
+            # idle slots at hz-1; probe_horizon.py picked the default.
+            if config.worklog_align:
+                upper = jnp.where(
+                    t0 < 2,
+                    jnp.int32(1),
+                    ((t0 - 2) // hz + 1) * hz + 1,
+                )
+                upper = jnp.minimum(upper, t_steps)
+            else:
+                upper = jnp.minimum(t0 + hz - 1, t_steps)
+        else:
+            upper = t_steps
+        final = jax.lax.fori_loop(t0, upper + 1, body, init)
         (px, py, pz, vx, vy, vz, stamp, depth, pvec, *_hb) = final
+        if hz:
+            # mid-phase window end: still-live lanes re-emit as suspended
+            # work.  Lanes that executed resume at upper+1; lanes whose
+            # start lies beyond the window keep their own start (the
+            # re-encode reconstructs their packing bit-identically).
+            live_mid = population.is_live(stamp) & (upper < t_steps)
+            stamp = jnp.where(
+                live_mid,
+                _encode_suspended(jnp.maximum(start0, upper + 1), stamp),
+                stamp,
+            )
         fields = (px, py, pz, vx, vy, vz, *a0, stamp, *id0)
         tile_pushes = jnp.sum(pvec, dtype=jnp.int32)
         tile_spawns = jnp.zeros((), jnp.int32)
@@ -629,12 +657,20 @@ def _worklog_kernel(
                 _suspended_resume(w_status),
                 w_status + 1,
             )
-            # starts span [2, t_steps + 1] -> linear map onto segments
-            b_idx = jnp.clip(
-                ((w_start - 2) * n_seg) // jnp.maximum(t_steps, 1),
-                0,
-                n_seg - 1,
-            )
+            if config.worklog_horizon:
+                # modular windows of width hz: within-segment start spread
+                # stays <= hz at ANY t_steps (a horizon pass's emissions
+                # span ~2 adjacent windows, so wrap reuse rarely collides)
+                b_idx = (
+                    jnp.maximum(w_start - 2, 0) // config.worklog_horizon
+                ) % n_seg
+            else:
+                # starts span [2, t_steps + 1] -> linear map onto segments
+                b_idx = jnp.clip(
+                    ((w_start - 2) * n_seg) // jnp.maximum(t_steps, 1),
+                    0,
+                    n_seg - 1,
+                )
         w_ovf = jnp.zeros((), jnp.bool_)
         for b in range(n_seg):
             valid_b = w_valid if b_idx is None else (w_valid & (b_idx == b))
@@ -841,6 +877,10 @@ def mobility_phase_worklog(
             f"[0, {_WSEG_MAX}]: segment counters live in SMEM slots "
             f"{_WSEG}..{_SMEM_SLOTS - 1}"
         )
+    if config.worklog_horizon < 0:
+        raise ValueError(
+            f"worklog_horizon={config.worklog_horizon} must be >= 0"
+        )
     S, TILE = _tile_dims(config)
     c = state.capacity
     cap_rows = _round_up(c, LANES) // LANES
@@ -855,6 +895,20 @@ def mobility_phase_worklog(
     # DMA chunk slack that the fit test reserves.
     auto = cap_rows // 2
     n_seg = max(1, config.worklog_start_buckets)
+    if config.worklog_horizon:
+        # Horizon passes emit nearly the whole live population as resumed
+        # work, concentrated in the 1-2 segments of the active windows —
+        # every segment must be sized for a full pass (n_seg x memory).
+        # Trace-time gate (config is static here, same pattern as the
+        # spawn_depth clamp in push_mcc.py): beyond the byte budget the
+        # n_seg-fold logs would crowd HBM at canonical 5e7 capacities, so
+        # large buckets fall back to the unbounded sweep — a pure
+        # rescheduling change, physics identical.
+        auto_h = max(2, n_seg) * auto
+        if NF * auto_h * LANES * 4 > 800 * 1024**2 and not config.worklog_rows:
+            config = config.replace(worklog_horizon=0, worklog_align=False)
+        else:
+            auto = auto_h
     # each start segment needs S-aligned rows (tiles must not straddle a
     # segment base) and at least one DMA chunk of slack for the fit test
     work_rows = _round_up(

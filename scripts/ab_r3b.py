@@ -5,6 +5,8 @@ Variants over the bench config (1M electrons, cap 2M, T=100, 256^3):
   * guard        — lookup_mode=staticguard (band-gated static visits)
   * seg2/seg4/seg8 — start-bucketed work-log emission
   * guard+seg4   — combined
+  * hor32/hor32A/... — horizon sweeps (probe_horizon.py: bounds post-death
+    idle slots; predicted 45 -> ~30-35 ms mobility at the bench point)
 Each: 3 warm Poisson steps then N windows of 3 steps; prints best window
 pushes/s per variant.  Run ONLY on an idle chip (single-tenant).
 
@@ -35,8 +37,34 @@ BASE = SimConfig(
     scheduler="dynamic",
 )
 
+# run order = dict order: the ab queue phase has a bounded time budget, so
+# the highest-information variants go first
 VARIANTS = {
     "base": {},
+    # horizon sweeps (probe_horizon.py): K-step windows + modular routing
+    # bound post-death idle slots (predicted 45 -> ~30-35 ms mobility)
+    "hor32A": {
+        "worklog_horizon": 32,
+        "worklog_align": True,
+        "worklog_start_buckets": 4,
+    },
+    "hor32": {"worklog_horizon": 32, "worklog_start_buckets": 4},
+    # boolean lookup protocol: ~4 fewer vector ops/step in the T-loop
+    "hits+guard": {"lookup_hits": True, "lookup_mode": "staticguard"},
+    # the full-stack candidate: horizon x band-gated boolean lookups
+    "hor32A+hits+guard": {
+        "worklog_horizon": 32,
+        "worklog_align": True,
+        "worklog_start_buckets": 4,
+        "lookup_hits": True,
+        "lookup_mode": "staticguard",
+    },
+    "hor24A": {
+        "worklog_horizon": 24,
+        "worklog_align": True,
+        "worklog_start_buckets": 4,
+    },
+    "hits": {"lookup_hits": True},
     "guard": {"lookup_mode": "staticguard"},
     "seg2": {"worklog_start_buckets": 2},
     "seg4": {"worklog_start_buckets": 4},
@@ -44,10 +72,7 @@ VARIANTS = {
     "guard+seg4": {"lookup_mode": "staticguard", "worklog_start_buckets": 4},
     # retry of the tile-height ceiling now that the T-loop carries slimmed
     "s256": {"kernel_sublanes": 256},
-    # boolean lookup protocol: ~4 fewer vector ops/step in the T-loop
-    "hits": {"lookup_hits": True},
     "hits+seg4": {"lookup_hits": True, "worklog_start_buckets": 4},
-    "hits+guard": {"lookup_hits": True, "lookup_mode": "staticguard"},
     "hits+guard+seg4": {
         "lookup_hits": True,
         "lookup_mode": "staticguard",

@@ -86,9 +86,31 @@ BASE = SimConfig(
             BASE.replace(spawn_depth=1, worklog_start_buckets=4),
             marks=pytest.mark.slow,
         ),
+        # horizon sweeps: each pass advances at most K steps, live lanes
+        # re-emit via the suspension packing, modular window routing —
+        # pure rescheduling, must stay bit-exact (probe_horizon.py design)
+        BASE.replace(worklog_horizon=3, worklog_start_buckets=4),
+        # window-aligned horizon (resumes cluster at window boundaries)
+        pytest.param(
+            BASE.replace(worklog_horizon=3, worklog_align=True,
+                         worklog_start_buckets=2, poisson_timestep=8),
+            marks=pytest.mark.slow,
+        ),
+        # horizon x suspension churn: both re-emission kinds share the
+        # packed encoding; K=2 forces a window boundary between them
+        pytest.param(
+            BASE.replace(spawn_depth=1, worklog_horizon=2,
+                         worklog_start_buckets=4),
+            marks=pytest.mark.slow,
+        ),
+        # horizon on a single mixed log (inefficient but legal)
+        pytest.param(
+            BASE.replace(worklog_horizon=4), marks=pytest.mark.slow
+        ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
-         "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend"],
+         "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
+         "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
