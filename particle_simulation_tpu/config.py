@@ -92,6 +92,12 @@ class SimConfig:
     # engine's spill-bound T-loop.  Ignored by non-threshold modes and by
     # the staged engine (which degrades aux modes to band0).
     lookup_hits: bool = False
+    # Skip the worklog T-loop's child-staging selects+stores (7 fields x
+    # spawn_depth per step) behind a per-step ``any(spawn)`` branch.  The
+    # canonical workload spawns rarely (net +3.6k over 200 steps at 1M
+    # particles), so most tile-steps pay only the scalar reduce.
+    # Bit-identical either way; off until the on-chip A/B records a win.
+    worklog_spawn_guard: bool = False
     # Physics model selections (models/integrator.py, models/collisions.py):
     # integrator: "leapfrog" (reference parity) | "boris" (zero-B Boris push)
     # collision_model: "reverse" (reference: parent velocity flips) |

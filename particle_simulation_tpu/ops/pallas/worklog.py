@@ -136,18 +136,7 @@ def _emit_stream(
     ptr_rows = elems_in // LANES
 
     valid_i32 = valid.astype(jnp.int32)
-    cnt = _row_ranks(valid_i32)                       # (R, L) inclusive rank
-    c_col = cnt[:, L - 1 : L]                         # (R, 1)
-    # exclusive row prefix via strict triangular matmul (values <= R*L: f32
-    # exact); broadcast to 128 columns so the matmul N-dim is MXU-shaped.
-    c_bcast = jnp.broadcast_to(c_col, (R, LANES)).astype(jnp.float32)
-    prefix = jnp.dot(
-        _tri(R, strict=True).T, c_bcast, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)[:, 0:1]                       # (R, 1)
-    start = prefix + fill                             # global pos of row's 1st elem
-    o = start % LANES                                 # (R, 1)
-    g = start // LANES                                # (R, 1) first out row
-    total = jnp.sum(c_col)
+    total = jnp.sum(valid_i32)
 
     q_of_total = (fill + total + LANES - 1) // LANES  # rows touched (incl carry)
     new_elems = elems_in + total
@@ -158,6 +147,23 @@ def _emit_stream(
 
     @pl.when(do_emit)
     def _pack_and_store():
+        # Ranks and row prefix live INSIDE the emit guard: a skipped call
+        # (empty segment / unfit) then costs one reduction instead of two
+        # MXU matmuls — with start-segmented logs most per-tile emit calls
+        # are empty.
+        cnt = _row_ranks(valid_i32)                   # (R, L) inclusive rank
+        c_col = cnt[:, L - 1 : L]                     # (R, 1)
+        # exclusive row prefix via strict triangular matmul (values <= R*L:
+        # f32 exact); broadcast to 128 columns so the matmul N-dim is
+        # MXU-shaped.
+        c_bcast = jnp.broadcast_to(c_col, (R, LANES)).astype(jnp.float32)
+        prefix = jnp.dot(
+            _tri(R, strict=True).T, c_bcast, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)[:, 0:1]                   # (R, 1)
+        start = prefix + fill                         # global pos of row's 1st elem
+        o = start % LANES                             # (R, 1)
+        g = start // LANES                            # (R, 1) first out row
+
         # composed lane target of element (r, i): (rank-1 + o_r) mod L
         # (via a scratch ref: Mosaic cannot dynamic_slice a value)
         tl_ref[0:R, :] = jnp.where(valid, (cnt - 1 + o) % LANES, -1)
@@ -190,6 +196,23 @@ def _emit_stream(
         # is a single value; the 16-bit split keeps f32 transport exact.
         iota_qT = jax.lax.broadcasted_iota(jnp.int32, (R, chunk_rows), 1)
         carry_lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        # lane-permuted field planes are chunk-invariant — build them ONCE
+        # (the chunk loop used to recompute the gather + selects per chunk)
+        in_cats = []
+        for f in range(NF):
+            rolled = jnp.take_along_axis(values_i32[f], srclane, axis=1)
+            in_cats.append(
+                jax.lax.bitcast_convert_type(
+                    jnp.concatenate(
+                        [
+                            jnp.where(low_m, rolled, 0),
+                            jnp.where(high_m, rolled, 0),
+                        ],
+                        axis=0,
+                    ),  # (2R, L)
+                    jnp.uint32,
+                )
+            )
         for qc in range(q_chunks):
             q0 = qc * chunk_rows
 
@@ -199,12 +222,7 @@ def _emit_stream(
                 m_high_t = ((g + 1) == (iota_qT + q0)).astype(jnp.float32)
                 m_cat_t = jnp.concatenate([m_low_t, m_high_t], axis=0)  # (2R, Q)
                 for f in range(NF):
-                    rolled = jnp.take_along_axis(values_i32[f], srclane, axis=1)
-                    in_cat = jnp.concatenate(
-                        [jnp.where(low_m, rolled, 0), jnp.where(high_m, rolled, 0)],
-                        axis=0,
-                    )  # (2R, L)
-                    u = jax.lax.bitcast_convert_type(in_cat, jnp.uint32)
+                    u = in_cats[f]
                     # MXU f32 matmuls run single-pass bf16 (8 mantissa bits):
                     # transport the i32 bits as 4 exact bytes <= 255
                     dims = (((0,), (0,)), ((), ()))   # contract sublanes: M^T x IN
@@ -496,16 +514,29 @@ def _worklog_kernel(
                 kick=kick0,
                 boundary=config.boundary,
             )
-            sel3 = (depth_iota == depth[None]) & res.spawn[None]
-            child = res.child
-            for f, name in enumerate(FIELD_NAMES):
-                if name in unstaged:  # prefilled / reconstructed post-loop
-                    continue
-                val = _from_typed(getattr(child, name).astype(_field_dtype(name)))
-                for d in range(D):
-                    stage_ref[f * D + d, :, :] = jnp.where(
-                        sel3[d], val, stage_ref[f * D + d, :, :]
+            def _stage_children():
+                sel3 = (depth_iota == depth[None]) & res.spawn[None]
+                child = res.child
+                for f, name in enumerate(FIELD_NAMES):
+                    if name in unstaged:  # prefilled/reconstructed post-loop
+                        continue
+                    val = _from_typed(
+                        getattr(child, name).astype(_field_dtype(name))
                     )
+                    for d in range(D):
+                        stage_ref[f * D + d, :, :] = jnp.where(
+                            sel3[d], val, stage_ref[f * D + d, :, :]
+                        )
+
+            if config.worklog_spawn_guard:
+                # spawns are rare per tile-step: one scalar reduce gates the
+                # 7-field x D select+store block (i32 sum — i1 reductions
+                # are a Mosaic trap)
+                pl.when(jnp.sum(res.spawn.astype(jnp.int32)) > 0)(
+                    _stage_children
+                )
+            else:
+                _stage_children()
             depth = depth + res.spawn.astype(jnp.int32)
             pvec = pvec + active.astype(jnp.int32)
             np_ = res.particles

@@ -7,6 +7,8 @@ Variants over the bench config (1M electrons, cap 2M, T=100, 256^3):
   * guard+seg4   — combined
   * hor32/hor32A/... — horizon sweeps (probe_horizon.py: bounds post-death
     idle slots; predicted 45 -> ~30-35 ms mobility at the bench point)
+  * sguard        — any(spawn)-branched child staging (skips 7xD
+    select+stores on the spawnless majority of tile-steps)
 Each: 3 warm Poisson steps then N windows of 3 steps; prints best window
 pushes/s per variant.  Run ONLY on an idle chip (single-tenant).
 
@@ -65,6 +67,17 @@ VARIANTS = {
         "worklog_start_buckets": 4,
     },
     "hits": {"lookup_hits": True},
+    # spawn-guard: per-step any(spawn) branch around the child-staging
+    # select+store block (spawns are rare per tile-step at the bench point)
+    "sguard": {"worklog_spawn_guard": True},
+    "hor32A+hits+guard+sguard": {
+        "worklog_horizon": 32,
+        "worklog_align": True,
+        "worklog_start_buckets": 4,
+        "lookup_hits": True,
+        "lookup_mode": "staticguard",
+        "worklog_spawn_guard": True,
+    },
     "guard": {"lookup_mode": "staticguard"},
     "seg2": {"worklog_start_buckets": 2},
     "seg4": {"worklog_start_buckets": 4},

@@ -107,10 +107,21 @@ BASE = SimConfig(
         pytest.param(
             BASE.replace(worklog_horizon=4), marks=pytest.mark.slow
         ),
+        # spawn-guard: the child-staging select+store block runs under a
+        # per-step any(spawn) branch — skipped stores must never be ones a
+        # spawn needed, so the multiset must stay bit-exact
+        BASE.replace(worklog_spawn_guard=True),
+        # spawn-guard x suspension: depth is read inside the guarded block;
+        # d1 forces suspend/resume churn around the guarded stores
+        pytest.param(
+            BASE.replace(worklog_spawn_guard=True, spawn_depth=1),
+            marks=pytest.mark.slow,
+        ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
-         "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed"],
+         "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
+         "spawn-guard", "spawn-guard-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), const_table)
