@@ -137,7 +137,15 @@ def main():
     table = load_table()
     results, finals = {}, {}
     for name in names:
-        results[name], finals[name] = run_variant(name, VARIANTS[name], table)
+        # a variant that fails to lower (Mosaic rejects a construct the
+        # interpret-mode tests can't catch) must not sink the rest of the
+        # bounded-budget A/B phase
+        try:
+            results[name], finals[name] = run_variant(
+                name, VARIANTS[name], table
+            )
+        except Exception as e:  # noqa: BLE001 — report and move on
+            print(f"{name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
     # every variant is bit-exact physics by construction — a divergent
     # final population means a miscompiled variant, which must never win
     if len(set(finals.values())) > 1:
@@ -145,6 +153,9 @@ def main():
         ok = {n for n, f in finals.items() if f == finals.get("base", None)}
         results = {n: r for n, r in results.items() if n in ok}
         print(f"ranking only base-consistent variants: {sorted(ok)}")
+    if not results:
+        print("no variant completed")
+        return
     best = max(results, key=results.get)
     print(f"winner: {best} at {results[best]:.4g} pushes/s")
 
