@@ -326,10 +326,14 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
             )
             if hits:
                 # boolean protocol: merge the rare undecided lanes' exact
-                # f32 outcomes straight into the integer decisions
+                # f32 outcomes straight into the integer decisions.  Logical
+                # ops, NOT jnp.where: a vector select on i1 operands lowers
+                # through an i8 select + trunci-to-i1 that Mosaic rejects
+                # ("Unsupported target bitwidth for truncation").
                 uf = u.astype(jnp.float32)
-                s_fin = jnp.where(und, uf < sp_e, s_hit)
-                t_fin = jnp.where(und, uf < sp_e + rm_e, t_hit)
+                nund = jnp.logical_not(und)
+                s_fin = (und & (uf < sp_e)) | (nund & s_hit)
+                t_fin = (und & (uf < sp_e + rm_e)) | (nund & t_hit)
                 return s_fin, t_fin
             # certain lanes: effective chances force the exact outcome
             # (u is in [0, 100), so 101 always compares true, 0 false;
