@@ -926,18 +926,26 @@ def mobility_phase_worklog(
     # DMA chunk slack that the fit test reserves.
     auto = cap_rows // 2
     n_seg = max(1, config.worklog_start_buckets)
-    if config.worklog_horizon:
-        # Horizon passes emit nearly the whole live population as resumed
-        # work, concentrated in the 1-2 segments of the active windows —
-        # every segment must be sized for a full pass (n_seg x memory).
+    if n_seg > 1 or config.worklog_horizon:
+        # A pass's emissions CONCENTRATE: horizon passes re-emit nearly the
+        # whole live population into the 1-2 segments of the active
+        # windows, and even without a horizon the start-linear routing
+        # lands children/suspensions of adjacent steps in the same segment
+        # (the r3b chip A/B measured seg4 dropping 47% of the population at
+        # the 1M bench point when segments shared one pass's rows).  Every
+        # segment must therefore be sized for a full pass — n_seg x memory.
         # Trace-time gate (config is static here, same pattern as the
         # spawn_depth clamp in push_mcc.py): beyond the byte budget the
         # n_seg-fold logs would crowd HBM at canonical 5e7 capacities, so
-        # large buckets fall back to the unbounded sweep — a pure
+        # large buckets fall back to the single mixed log — a pure
         # rescheduling change, physics identical.
         auto_h = max(2, n_seg) * auto
         if NF * auto_h * LANES * 4 > 800 * 1024**2 and not config.worklog_rows:
-            config = config.replace(worklog_horizon=0, worklog_align=False)
+            config = config.replace(
+                worklog_start_buckets=1, worklog_horizon=0,
+                worklog_align=False,
+            )
+            n_seg = 1
         else:
             auto = auto_h
     # each start segment needs S-aligned rows (tiles must not straddle a

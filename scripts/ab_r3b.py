@@ -91,6 +91,14 @@ VARIANTS = {
         "lookup_mode": "staticguard",
         "worklog_start_buckets": 4,
     },
+    # round-3c re-runs after the i1-select fix: hits stacked on the
+    # spawn-guard (which tied base bit-exactly in the first A/B round)
+    "hits+sguard": {"lookup_hits": True, "worklog_spawn_guard": True},
+    "hits+guard+sguard": {
+        "lookup_hits": True,
+        "lookup_mode": "staticguard",
+        "worklog_spawn_guard": True,
+    },
 }
 
 
