@@ -59,6 +59,13 @@ def sweep_configs(profile: str = "full") -> List[SimConfig]:
                     poisson_timestep=mob,
                     scheduler=sched,
                     grid_size=grid,
+                    # canonical-artifact provenance: the sweep's physics
+                    # (final n, cross-engine multiset equality) is pinned to
+                    # the per-step draw protocol regardless of what the
+                    # session default becomes (config.py rng_mode notes) —
+                    # recorded rows stay mutually consistent across rounds
+                    rng_mode="perstep",
+                    rng_rounds=13,
                 )
             )
     return configs

@@ -54,6 +54,20 @@ class SimConfig:
     # library-conservative choice.  All engines share the value, so any
     # choice is self-consistent and deterministic.
     rng_rounds: int = 13
+    # Draw protocol (rng.step_draws_mode): "perstep" = one Threefry block
+    # per (particle, mobility step) — the round-1..3 stream; "block2" = one
+    # block per step PAIR (u's from the two output words, child ids from
+    # disjoint mixes; rng.pair_draws).  With the worklog engine's unrolled
+    # T-loop (worklog_unroll=2) block2 halves the cipher rate — the cipher
+    # is most of the ~16 ms/step physics floor (DESIGN.md).  Any fixed
+    # choice is deterministic and cadence-independent; the canonical sweep
+    # artifact pins "perstep" as its provenance (benchmarks.py).
+    rng_mode: str = "perstep"
+    # Worklog T-loop steps per fori_loop iteration (1 or 2).  2 halves the
+    # loop-carry VMEM round-trips (the measured dominant spill cost) and
+    # enables the pair-fused cipher under rng_mode="block2"; bit-identical
+    # physics for either value at fixed rng_mode.
+    worklog_unroll: int = 1
     # Fast-append window for the staged engine: per-sweep spawns up to this
     # count take the windowed gather+dynamic_update_slice path.
     # 0 = auto (max(1M, capacity/4)).

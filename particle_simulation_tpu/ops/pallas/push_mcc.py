@@ -564,6 +564,7 @@ def _mobility_kernel(
                 remove_chance=None,
                 seed=config.seed,
                 rng_rounds=config.rng_rounds,
+                rng_mode=config.rng_mode,
                 integrator=config.integrator,
                 collision_model=config.collision_model,
                 table_lookup=functools.partial(lookup, split_ref, remove_ref, None),
@@ -613,12 +614,13 @@ def _mobility_kernel(
         (px, py, pz, vx, vy, vz, stamp, depth, tile_pushes) = final
 
         # Reconstruct the child id planes from (parent id, staged spawn
-        # step): the same cipher call physics made at the spawn step, so
+        # step): the same draw protocol physics used at the spawn step, so
         # the values are bit-identical to per-step staging.
         for d in range(config.spawn_depth):
             t_d = child_refs[9][d, :, :]
-            _, c_hi, c_lo = rng.step_draws(
-                config.seed, in_refs[10][:, :], in_refs[11][:, :], p_step,
+            c_hi, c_lo = rng.child_ids_at(
+                config.rng_mode, config.seed, in_refs[10][:, :],
+                in_refs[11][:, :], p_step,
                 t_d.astype(jnp.uint32), rounds=config.rng_rounds,
             )
             child_refs[10][d, :, :] = c_hi

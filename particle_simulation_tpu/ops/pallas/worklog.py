@@ -466,7 +466,7 @@ def _worklog_kernel(
                 jnp.max(jnp.where(nz, hi_n, 1)),
             )
 
-        def body(t, carry):
+        def one_step(t, carry, draws, live):
             # Suspension lives INSIDE the carried stamp: a lane suspended at
             # step t carries the packed work-log encoding
             # _encode_suspended(t, stamp) (<= _SUS_BASE < -1), so the single
@@ -474,6 +474,10 @@ def _worklog_kernel(
             # once — no separate susp_t carry array round-tripping VMEM
             # every iteration, and the end-of-pass emission reads the
             # already-packed status verbatim.
+            # ``draws``: precomputed (u, child_hi, child_lo) for this step
+            # (the unrolled pair loop's half-block); None = compute in
+            # physics.  ``live``: extra scalar gate for the unrolled tail
+            # (step upper+1 of a straddling pair must not execute).
             # the band scalars ride the carry only in pipeband mode
             px, py, pz, vx, vy, vz, stamp, depth, pvec, *hband = carry
             h0, h1 = hband if pipeband else (None, None)
@@ -487,6 +491,8 @@ def _worklog_kernel(
             # live-and-not-suspended exactly, one compare instead of three
             # (empty-slot status 0 only occurs outside unf0)
             candidate = unf0 & (stamp >= -1) & (t >= start0)
+            if live is not None:
+                candidate = candidate & live
             suspend_now = candidate & (depth >= D)
             active = candidate & ~suspend_now
             table_lookup = functools.partial(
@@ -508,11 +514,13 @@ def _worklog_kernel(
                 remove_chance=None,
                 seed=config.seed,
                 rng_rounds=config.rng_rounds,
+                rng_mode=config.rng_mode,
                 integrator=config.integrator,
                 collision_model=config.collision_model,
                 table_lookup=table_lookup,
                 kick=kick0,
                 boundary=config.boundary,
+                draws=draws,
             )
             def _stage_children():
                 sel3 = (depth_iota == depth[None]) & res.spawn[None]
@@ -594,7 +602,37 @@ def _worklog_kernel(
                 upper = jnp.minimum(t0 + hz - 1, t_steps)
         else:
             upper = t_steps
-        final = jax.lax.fori_loop(t0, upper + 1, body, init)
+        if config.worklog_unroll == 2:
+            # Two mobility steps per fori_loop iteration: the loop carries
+            # round-trip VMEM once per ITERATION (the measured dominant
+            # spill cost, DESIGN.md), so per-step carry traffic halves; and
+            # under rng_mode="block2" ONE pair block (rng.pair_draws)
+            # replaces two per-step ciphers.  Pair bases are GLOBALLY
+            # aligned (t even) so draws are identical across pass/resume
+            # boundaries; the half-steps outside [t0, upper] run fully
+            # masked (entry: t0-1 < every start0; exit: the `live` gate).
+            e0 = (t0 // 2) * 2
+            n_pairs = jnp.maximum((upper - e0) // 2 + 1, 0)
+            use_pair = config.rng_mode == "block2"
+
+            def pair_body(k, carry):
+                t = e0 + 2 * k
+                if use_pair:
+                    d_even, d_odd = rng.pair_draws(
+                        config.seed, id0[0], id0[1], p_step,
+                        t.astype(jnp.uint32), 0.0, 100.0,
+                        rounds=config.rng_rounds,
+                    )
+                else:
+                    d_even = d_odd = None
+                carry = one_step(t, carry, d_even, None)
+                return one_step(t + 1, carry, d_odd, (t + 1) <= upper)
+
+            final = jax.lax.fori_loop(0, n_pairs, pair_body, init)
+        else:
+            final = jax.lax.fori_loop(
+                t0, upper + 1, lambda t, c: one_step(t, c, None, None), init
+            )
         (px, py, pz, vx, vy, vz, stamp, depth, pvec, *_hb) = final
         if hz:
             # mid-phase window end: still-live lanes re-emit as suspended
@@ -616,15 +654,16 @@ def _worklog_kernel(
             )
 
         # Reconstruct the child id stage planes from (parent id, staged
-        # spawn step): rng.step_draws is the same cipher call physics made
-        # at the spawn step, so the values are bit-identical to what
-        # per-step staging produced — at the cost of D cipher evaluations
-        # per tile instead of 2 fields x D (S, L) select+RMWs per T-step.
+        # spawn step): rng.child_ids_at replays the same draw protocol
+        # physics used at the spawn step, so the values are bit-identical to
+        # what per-step staging produced — at the cost of D cipher
+        # evaluations per tile instead of 2 fields x D (S, L) select+RMWs
+        # per T-step.
         f_hi, f_lo = FIELD_NAMES.index("id_hi"), FIELD_NAMES.index("id_lo")
         for d in range(D):
             t_d = stage_ref[9 * D + d, :, :]
-            _, c_hi, c_lo = rng.step_draws(
-                config.seed, id0[0], id0[1], p_step,
+            c_hi, c_lo = rng.child_ids_at(
+                config.rng_mode, config.seed, id0[0], id0[1], p_step,
                 t_d.astype(jnp.uint32), rounds=config.rng_rounds,
             )
             stage_ref[f_hi * D + d, :, :] = _from_typed(c_hi)

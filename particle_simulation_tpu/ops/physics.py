@@ -200,10 +200,12 @@ def update_particles(
     seed,
     table_lookup,
     rng_rounds: int = 20,
+    rng_mode: str = "perstep",
     integrator: str = "leapfrog",
     collision_model: str = "reverse",
     kick=None,
     boundary: str = "absorb",
+    draws=None,
 ) -> StepResult:
     """One mobility step for every lane; inactive lanes pass through.
 
@@ -214,6 +216,13 @@ def update_particles(
     ``bits`` (its raw payload) let a lookup return ANY values that preserve
     the two comparison outcomes below — e.g. (0, 0) for a lane that provably
     cannot collide, or (101, 0) for one that provably splits (u < 100).
+
+    ``rng_mode`` selects the draw protocol (rng.step_draws_mode); ``draws``
+    optionally injects a precomputed (u, child_hi, child_lo) triple for this
+    step — the worklog engine's unrolled T-loop computes one pair block for
+    two steps (rng.pair_draws) and feeds each half here, skipping the
+    per-step cipher.  Injected draws MUST equal what step_draws_mode would
+    return (the cadence-equivalence tests enforce it end to end).
 
     ``integrator``/``collision_model``/``boundary`` are static model
     selections (SimConfig fields), shared by every engine so cadence
@@ -232,9 +241,13 @@ def update_particles(
         in_dom = active & ~oob
         oob_kill = active & oob
 
-    u, child_hi, child_lo = rng.step_draws(
-        seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0, rounds=rng_rounds
-    )
+    if draws is not None:
+        u, child_hi, child_lo = draws
+    else:
+        u, child_hi, child_lo = rng.step_draws_mode(
+            rng_mode, seed, p.id_hi, p.id_lo, poisson_step, t, 0.0, 100.0,
+            rounds=rng_rounds,
+        )
     # Lookup energies are gated to ACTIVE lanes: inactive lanes' chances are
     # multiplied out below, and zeroing their energy pins them to table
     # bucket 0 — in the fused kernel the chunk-band sweep then only spans

@@ -136,9 +136,14 @@ def _step_config(config: SimConfig) -> SimConfig:
 
 
 def _check_stamp_domain(config: SimConfig) -> None:
-    """The fused engines pack (resume step, spawn stamp) into 15 bits each;
+    """Up-front config validation for the compiled step.
+
+    The fused engines pack (resume step, spawn stamp) into 15 bits each;
     larger mobility-step counts would alias the encoding and corrupt physics
-    silently (ADVICE r1) — reject them up front."""
+    silently (ADVICE r1) — reject them up front.  Same spirit for the
+    draw-protocol knobs: an unknown ``rng_mode`` would otherwise only fail
+    deep inside kernel tracing, and a ``worklog_unroll`` outside {1, 2}
+    would silently run the unroll=1 path."""
     if config.scheduler in ("dynamic", "dynamic_old") and (
         config.poisson_timestep + 2 >= (1 << 15)
     ):
@@ -146,6 +151,12 @@ def _check_stamp_domain(config: SimConfig) -> None:
             f"poisson_timestep={config.poisson_timestep} exceeds the fused "
             "engine's 15-bit stamp domain; use scheduler='naive' or 'sync' "
             "for such runs"
+        )
+    if config.rng_mode not in ("perstep", "block2"):
+        raise ValueError(f"unknown rng_mode {config.rng_mode!r}")
+    if config.worklog_unroll not in (1, 2):
+        raise ValueError(
+            f"worklog_unroll={config.worklog_unroll} unsupported (1 or 2)"
         )
 
 

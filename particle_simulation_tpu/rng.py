@@ -108,6 +108,78 @@ def step_uniform(seed, id_hi, id_lo, poisson_step, mob_step, lo=0.0, hi=1.0,
     )[0]
 
 
+def pair_draws(seed, id_hi, id_lo, poisson_step, t_even, lo=0.0, hi=1.0,
+               rounds: int = 20):
+    """``rng_mode="block2"``: ONE Threefry block serves a PAIR of mobility
+    steps (t_even, t_even + 1) — the cipher is ~75 full-width vector ops per
+    call inside the fused kernels' spill-bound T-loop, so halving its rate
+    is the single largest op-count cut available there (DESIGN.md perf
+    model).  Returns two (uniform, child_hi, child_lo) triples.
+
+    Derivation (pure function of (id, poisson_step, pair base), so every
+    cadence/shard/engine agrees bit-exactly — same contract as step_draws):
+
+      block (b0, b1) = threefry(key=(id_hi^seed, id_lo), ctr=(p, t_even))
+      even step:  u from b0;  child id = (b1,          b0 ^ GOLDEN)
+      odd  step:  u from b1;  child id = (b0 + GOLDEN, b1 ^ GOLDEN)
+
+    ``child_lo ^ GOLDEN`` recovers the payload that produced u for BOTH
+    parities (the threshold-mode lookups rely on that, physics.py).  The two
+    children of a double-splitting parent can never collide: equal ids would
+    need b1 == b0 + GOLDEN and b0 == b1 simultaneously.  Statistical
+    quality: both draws and both ids are disjoint output words of one
+    20-round-class cipher block — the same independence argument as Salmon
+    et al.'s multiple-streams usage; the trade is that a parent's odd-step
+    draw shares bits with its even-step child's id, which correlates nothing
+    observable (the child's own stream is a fresh cipher keyed by its id).
+    """
+    t0 = jnp.asarray(t_even, jnp.uint32)
+    b0, b1 = threefry2x32(
+        jnp.asarray(id_hi, jnp.uint32) ^ jnp.uint32(seed), id_lo,
+        jnp.asarray(poisson_step, jnp.uint32), t0, rounds=rounds,
+    )
+    g = jnp.uint32(GOLDEN)
+    even = (uniform_from_bits(b0, lo, hi), b1, b0 ^ g)
+    odd = (uniform_from_bits(b1, lo, hi), b0 + g, b1 ^ g)
+    return even, odd
+
+
+def step_draws_mode(mode, seed, id_hi, id_lo, poisson_step, mob_step,
+                    lo=0.0, hi=1.0, rounds: int = 20):
+    """Per-step draws under the configured ``rng_mode``.
+
+    "perstep" is the original step_draws (one block per step).  "block2"
+    computes the step's pair block and selects by parity — the oracle-path
+    form (one cipher per step, correct for scalar or vector ``mob_step``);
+    the fused kernels instead unroll their T-loop by 2 and call pair_draws
+    once per pair (bit-identical values by construction)."""
+    if mode == "perstep":
+        return step_draws(
+            seed, id_hi, id_lo, poisson_step, mob_step, lo, hi, rounds=rounds
+        )
+    if mode != "block2":
+        raise ValueError(f"unknown rng_mode {mode!r}")
+    t = jnp.asarray(mob_step, jnp.uint32)
+    even, odd = pair_draws(
+        seed, id_hi, id_lo, poisson_step, t & jnp.uint32(0xFFFFFFFE),
+        lo, hi, rounds=rounds,
+    )
+    is_odd = (t & jnp.uint32(1)) == jnp.uint32(1)
+    return tuple(jnp.where(is_odd, o, e) for e, o in zip(even, odd))
+
+
+def child_ids_at(mode, seed, id_hi, id_lo, poisson_step, t, rounds: int = 20):
+    """(child_hi, child_lo) minted by a split at mobility step ``t`` (scalar
+    or vector) — exactly the values step_draws_mode produced at that step.
+    The fused engines reconstruct staged children's genealogy ids post-loop
+    from (parent id, staged spawn step) with this (worklog.py/push_mcc.py),
+    so it must stay in lockstep with the draw protocol above."""
+    _, c_hi, c_lo = step_draws_mode(
+        mode, seed, id_hi, id_lo, poisson_step, t, rounds=rounds
+    )
+    return c_hi, c_lo
+
+
 def setup_uniform(id_hi, id_lo, axis, lo, hi):
     """Uniform draw for initial particle placement along one axis.
 

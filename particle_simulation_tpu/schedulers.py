@@ -80,6 +80,7 @@ def _one_step(state: SimState, t, poisson_step, table, config, range_lo, range_h
         dt=config.mobility_dt, sim_size=config.sim_size,
         split_chance=None, remove_chance=None, seed=config.seed,
         rng_rounds=config.rng_rounds,
+        rng_mode=config.rng_mode,
         integrator=config.integrator,
         collision_model=config.collision_model,
         table_lookup=make_table_lookup(table),
