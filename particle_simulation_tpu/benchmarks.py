@@ -221,6 +221,22 @@ def run_benchmark(
             if cfg.scheduler == "naive" and cfg.poisson_timestep >= 300
             else 0
         )
+        # Crash-resumable rows (run_pic_device row_ckpt): the multi-minute
+        # tail rows otherwise restart from Poisson step 0 on every worker
+        # fault — with a per-step snapshot a fault costs one step, so the
+        # retry loop makes monotonic progress and poison_limit attempts
+        # suffice for any row length.  Only single-rep rows (the triplicate
+        # headline points are short and never fault).
+        row_ckpt = None
+        if (
+            cfg.scheduler != "dynamic"
+            and cfg.poisson_timestep >= 300
+            and reps_want == 1
+        ):
+            row_ckpt = os.path.join(
+                os.path.dirname(out_csv) or ".",
+                f"row_ckpt_{cfg.scheduler}_{cfg.poisson_timestep}.npz",
+            )
         # warm: compile + enter the churn regime once per scheduler (T is a
         # traced scalar, so the compilation is shared across all T points)
         if cfg.scheduler not in warmed:
@@ -257,6 +273,7 @@ def run_benchmark(
                     cfg, chunk_steps=chunk,
                     w_start=hints.get(cfg.scheduler, 0),
                     naive_chunk=nchunk,
+                    row_ckpt=row_ckpt,
                 )
                 wall = time.perf_counter() - t0
                 run.state = None  # 2.4 GB of HBM per held state at canonical cap

@@ -11,6 +11,7 @@ boundary profile as the reference (SURVEY.md §3.1).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, List, Optional
 
@@ -244,6 +245,72 @@ def run_pic(
     )
 
 
+_ROW_CKPT_FIELDS = ("pos", "vel", "acc", "status", "id_hi", "id_lo", "n")
+_ROW_METRIC_COLS = (
+    "step", "n", "added", "removed", "wall_s", "overflow", "pushes"
+)
+
+
+def _row_ckpt_tag(config: SimConfig) -> str:
+    g = "x".join(str(x) for x in config.grid_size)
+    return (
+        f"{config.scheduler}|{config.poisson_timestep}|{config.seed}|"
+        f"{config.init_n}|{config.capacity}|{g}|{config.rng_mode}|"
+        f"{config.rng_rounds}"
+    )
+
+
+def _save_row_ckpt(path, config, state, steps, wall_total, done, w_hint):
+    """Persist an in-progress benchmark row (atomic replace: a worker fault
+    mid-save must leave the previous snapshot intact)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(  # uncompressed: ~1 GB at avalanche buckets, 1-core host
+            f,
+            tag=np.str_(_row_ckpt_tag(config)),
+            wall_total=np.float64(wall_total),
+            done=np.int64(done),
+            w_hint=np.int64(w_hint),
+            **{f"s_{k}": np.asarray(getattr(state, k))
+               for k in _ROW_CKPT_FIELDS},
+            **{f"m_{c}": np.asarray([getattr(s, c) for s in steps])
+               for c in _ROW_METRIC_COLS},
+        )
+    os.replace(tmp, path)
+
+
+def _load_row_ckpt(path, config):
+    """(state, steps, wall_total, done, w_hint) or None if absent/foreign."""
+    if not (path and os.path.exists(path)):
+        return None
+    try:
+        with np.load(path) as z:
+            if str(z["tag"]) != _row_ckpt_tag(config):
+                return None
+            state = SimState(
+                **{k: jnp.asarray(z[f"s_{k}"]) for k in _ROW_CKPT_FIELDS}
+            )
+            cols = {c: z[f"m_{c}"] for c in _ROW_METRIC_COLS}
+            steps = [
+                StepMetrics(
+                    step=int(cols["step"][i]), n=int(cols["n"][i]),
+                    added=int(cols["added"][i]),
+                    removed=int(cols["removed"][i]),
+                    wall_s=float(cols["wall_s"][i]),
+                    overflow=bool(cols["overflow"][i]),
+                    pushes=float(cols["pushes"][i]),
+                )
+                for i in range(len(cols["step"]))
+            ]
+            return (
+                state, steps, float(z["wall_total"]), int(z["done"]),
+                int(z["w_hint"]),
+            )
+    except (OSError, ValueError, KeyError):
+        return None  # unreadable snapshot: start the row over
+
+
 def run_pic_device(
     config: SimConfig,
     table: Optional[jnp.ndarray] = None,
@@ -251,6 +318,7 @@ def run_pic_device(
     w_start: int = 0,
     sync_host: bool = True,
     naive_chunk: int = 0,
+    row_ckpt: Optional[str] = None,
 ) -> RunData:
     """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
     device-resident chunks (ops/step.poisson_loop) so the per-step host
@@ -261,7 +329,16 @@ def run_pic_device(
     smallest power-of-2 working prefix holding the population with headroom,
     and a chunk whose growth overflows its bucket is redone at the next
     bucket — physics is a pure function of genealogy, so the retry is
-    bit-exact (same trick as _bucketed_step)."""
+    bit-exact (same trick as _bucketed_step).
+
+    ``row_ckpt``: crash-resumable rows for the intermittent TPU worker
+    fault (STATUS.md).  After every Poisson step the state + accumulated
+    metrics snapshot to this host file (outside the timed windows, so the
+    recorded device time is untouched); a relaunched process resumes the
+    row from the snapshot instead of restarting it — physics is a pure
+    function of (genealogy, absolute Poisson index), so the resumed row is
+    bit-exact vs an uninterrupted one (same argument as checkpoint.py's
+    resume, tests/test_checkpoint.py).  Deleted once the row completes."""
     from .ops.step import (
         poisson_loop,
         poisson_step_naive_host,
@@ -293,6 +370,14 @@ def run_pic_device(
     wall_total = 0.0
     done = 0
     w_hint = min(w_start, config.capacity)
+    resumed = _load_row_ckpt(row_ckpt, config)
+    if resumed is not None:
+        state, steps, wall_total, done, w_hint = resumed
+        print(
+            f"row resumed from {row_ckpt}: poisson step {done}, "
+            f"n={int(state.n)}, {wall_total:.1f}s accumulated",
+            flush=True,
+        )
     # bucket hysteresis: mid-phase population peaks (ionization
     # avalanches at large T) far exceed the step-boundary population, and a
     # ladder climb costs one DISCARDED run per rung — start each chunk at
@@ -357,8 +442,14 @@ def run_pic_device(
         ]
         state = final  # container stays at bucket capacity (see above)
         done += k
+        if row_ckpt and done < config.poisson_steps and final_n > 0:
+            _save_row_ckpt(
+                row_ckpt, config, state, steps, wall_total, done, w_hint
+            )
         if final_n == 0:
             break
+    if row_ckpt and os.path.exists(row_ckpt):
+        os.remove(row_ckpt)
     return RunData(
         config=config,
         final_n=int(state.n),

@@ -52,5 +52,10 @@ for only, max_t in PASSES:
         resume=True,
         only_schedulers=only,
         max_t=max_t,
+        # rows checkpoint per Poisson step now (run_pic_device row_ckpt), so
+        # every crash-retry attempt makes monotonic progress — a T=1000 row
+        # legitimately needs ~(row time / mean time between worker faults)
+        # attempts, not 3
+        poison_limit=10,
     )
 print("sweep_fill_r3 done", flush=True)

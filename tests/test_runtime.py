@@ -395,3 +395,57 @@ def test_bucket_ladder_properties():
         assert nw > w
         w = nw
     assert len(seen) > 10  # the quarter-step ladder is actually fine-grained
+
+
+def test_row_ckpt_resume_bit_exact(tmp_path):
+    """Crash-resumable benchmark rows (run_pic_device row_ckpt): a row
+    resumed from a mid-run snapshot must equal the uninterrupted run
+    exactly — state multiset, per-step metrics, and accumulated device
+    time — because physics is a pure function of (genealogy, absolute
+    Poisson index).  Also: the snapshot is deleted on completion, and a
+    foreign snapshot (different config tag) is ignored."""
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import (
+        _save_row_ckpt, run_pic_device, sorted_particle_array,
+    )
+
+    cfg = SimConfig(
+        init_n=300, capacity=60_000, poisson_steps=4, poisson_timestep=7,
+        grid_size=(32, 32, 32), scheduler="naive",
+        cross_section_path=bundled_paths()[1],  # heavy churn -> growth
+    )
+    full = run_pic_device(cfg)
+
+    # fabricate the snapshot a worker fault would have left after step 2:
+    # run the first 2 steps for real, then persist exactly what
+    # run_pic_device's per-step hook persists
+    head = run_pic_device(cfg.replace(poisson_steps=2))
+    ck = str(tmp_path / "row.npz")
+    _save_row_ckpt(
+        ck, cfg, head.state, head.steps, head.device_time_ms / 1e3, 2,
+        head.last_bucket,
+    )
+    resumed = run_pic_device(cfg, row_ckpt=ck)
+    assert resumed.final_n == full.final_n
+    assert [m.n for m in resumed.steps] == [m.n for m in full.steps]
+    assert [m.pushes for m in resumed.steps] == [m.pushes for m in full.steps]
+    assert [m.added for m in resumed.steps] == [m.added for m in full.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(resumed.state), sorted_particle_array(full.state)
+    )
+    assert abs(
+        resumed.device_time_ms
+        - (head.device_time_ms + sum(m.wall_s for m in resumed.steps[2:]) * 1e3)
+    ) < 1e-6 * max(resumed.device_time_ms, 1.0)
+    assert not os.path.exists(ck)  # completed row cleans up its snapshot
+
+    # a snapshot from a DIFFERENT config must not hijack the row
+    _save_row_ckpt(
+        ck, cfg.replace(seed=cfg.seed + 1), head.state, head.steps,
+        head.device_time_ms / 1e3, 2, head.last_bucket,
+    )
+    fresh = run_pic_device(cfg, row_ckpt=ck)
+    assert fresh.final_n == full.final_n
+    np.testing.assert_array_equal(
+        sorted_particle_array(fresh.state), sorted_particle_array(full.state)
+    )
