@@ -62,12 +62,15 @@ class SimConfig:
     # is most of the ~16 ms/step physics floor (DESIGN.md).  Any fixed
     # choice is deterministic and cadence-independent; the canonical sweep
     # artifact pins "perstep" as its provenance (benchmarks.py).
-    rng_mode: str = "perstep"
+    # Default flipped to "block2" after the ab_r3d chip A/B (2026-08-18):
+    # block2+unroll2 1.121e9 vs base 1.065e9 pushes/s (+5.3%), all
+    # cadences oracle-equal within the mode (tests/test_rng_modes.py).
+    rng_mode: str = "block2"
     # Worklog T-loop steps per fori_loop iteration (1 or 2).  2 halves the
     # loop-carry VMEM round-trips (the measured dominant spill cost) and
     # enables the pair-fused cipher under rng_mode="block2"; bit-identical
     # physics for either value at fixed rng_mode.
-    worklog_unroll: int = 1
+    worklog_unroll: int = 2
     # Fast-append window for the staged engine: per-sweep spawns up to this
     # count take the windowed gather+dynamic_update_slice path.
     # 0 = auto (max(1M, capacity/4)).
