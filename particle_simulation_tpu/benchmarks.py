@@ -66,6 +66,11 @@ def sweep_configs(profile: str = "full") -> List[SimConfig]:
                     # recorded rows stay mutually consistent across rounds
                     rng_mode="perstep",
                     rng_rounds=13,
+                    # timing provenance too: the recorded Dynamic column
+                    # measured the unroll=1 T-loop; keep resumed rows on
+                    # the same engine build (physics is bit-identical for
+                    # either value, times are not — ab_r3d)
+                    worklog_unroll=1,
                 )
             )
     return configs

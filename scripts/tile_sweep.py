@@ -48,15 +48,30 @@ def main():
             for t_steps in (10, 100, 1000):
                 if (fname, sublanes, t_steps) in done:
                     continue
+                # The staged engine's long-T rows cost many device-minutes
+                # per tile at honest capacity (canonical T=700 took 910 s);
+                # cap it at T=100, as the reference caps Naive at its
+                # shared-mem limit (src/test.cu:23).
+                if sched == "dynamic_old" and t_steps > 100:
+                    continue
                 cfg = SimConfig(
                     init_n=1_000_000,
-                    capacity=2_000_000,
+                    # 8M: enough intra-step headroom that no engine hits the
+                    # accept-drops-at-capacity path (run_pic_device) — the
+                    # first recording used 2M and the avalanche transients
+                    # clipped both engines' populations (worst: dyn_old
+                    # T=1000 final_n 35906), making tiles incomparable.
+                    capacity=8_000_000,
                     poisson_steps=10,
                     poisson_timestep=t_steps,
                     grid_size=(256, 256, 256),
                     scheduler=sched,
                     kernel_sublanes=sublanes,
                     block_size=sublanes,   # recorded in the block column
+                    # pin the draw protocol: resumed rows must share
+                    # provenance even across future default flips
+                    rng_mode="block2",
+                    worklog_unroll=2,
                 )
                 try:
                     # warm once per (engine, tile): T is a traced scalar, so
@@ -71,6 +86,13 @@ def main():
                 except Exception as e:       # noqa: BLE001 — record and move on
                     print(f"{sched} sublanes={sublanes} T={t_steps}: "
                           f"FAILED {type(e).__name__}: {e}", flush=True)
+                    continue
+                if any(s.overflow for s in run.steps):
+                    print(
+                        f"{sched} sublanes={sublanes} T={t_steps}: OVERFLOW "
+                        f"at capacity — row not recorded (raise capacity)",
+                        flush=True,
+                    )
                     continue
                 pushes = estimate_pushes(run)
                 rate = pushes / max(run.device_time_ms / 1e3, 1e-9)
