@@ -219,10 +219,15 @@ def run_benchmark(
         # 1-step dispatches were not enough for the naive tails — a whole
         # T>=400 phase is still one multi-minute dispatch and faulted the
         # worker 3-for-3 (poison-listed in r3) — so those rows also split
-        # the T-loop itself into bounded ~100-step dispatches (bit-exact,
-        # ops/step.poisson_step_naive_host).
+        # the T-loop itself into bounded dispatches (bit-exact,
+        # ops/step.poisson_step_naive_host).  100-step spans (~50 s
+        # dispatches) still faulted 10-for-10 on the T=400/500 rows
+        # (r3d poison ledger) while the worklog engine's ~1-3 s
+        # dispatches have never faulted in three rounds, so the tails
+        # now run ~10 s spans: the per-span readback costs ~0.2 s × 20
+        # spans ≈ 4 s on a ~200 s step.
         nchunk = (
-            100
+            20
             if cfg.scheduler == "naive" and cfg.poisson_timestep >= 300
             else 0
         )
