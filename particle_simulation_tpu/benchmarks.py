@@ -231,6 +231,16 @@ def run_benchmark(
             if cfg.scheduler == "naive" and cfg.poisson_timestep >= 300
             else 0
         )
+        # Same medicine for the staged engine's tails: one sweep pass per
+        # dispatch (each pass is seconds-long at canonical scale, so the
+        # per-dispatch continuation readback is noise, and the T>=800
+        # whole-phase dispatches that repeatedly faulted the worker are
+        # gone).  poisson_step_staged_host is bit-exact vs poisson_step.
+        schunk = (
+            1
+            if cfg.scheduler == "dynamic_old" and cfg.poisson_timestep >= 300
+            else 0
+        )
         # Crash-resumable rows (run_pic_device row_ckpt): the multi-minute
         # tail rows otherwise restart from Poisson step 0 on every worker
         # fault — with a per-step snapshot a fault costs one step, so the
@@ -261,6 +271,7 @@ def run_benchmark(
                 chunk_steps=chunk,
                 w_start=hints.get(cfg.scheduler, 0),
                 naive_chunk=nchunk,
+                staged_chunk=schunk,
             )
             warm.state = None
             hints[cfg.scheduler] = max(
@@ -283,6 +294,7 @@ def run_benchmark(
                     cfg, chunk_steps=chunk,
                     w_start=hints.get(cfg.scheduler, 0),
                     naive_chunk=nchunk,
+                    staged_chunk=schunk,
                     row_ckpt=row_ckpt,
                 )
                 wall = time.perf_counter() - t0

@@ -761,17 +761,7 @@ def _append_staged(fields, n, children, capacity, window):
     )
 
 
-def mobility_phase_dynamic(
-    state: SimState, poisson_step, table, config: SimConfig, t_steps
-):
-    """Work-list fixed point over fused kernel sweeps (fully on device).
-
-    Every sweep advances all unfinished lanes (fresh particles, children
-    appended by earlier sweeps, suspended parents) as far as they can go;
-    the loop ends when no lane is unfinished.  Exact for unbounded
-    ionization chains; terminates because every suspended lane has staged
-    >= spawn_depth children and resumes with an empty buffer.
-    """
+def _staged_checks(state: SimState, config: SimConfig) -> None:
     if state.pos.dtype != jnp.float32:
         raise ValueError(
             "the fused Pallas engine is f32-only; use scheduler='sync' or "
@@ -785,6 +775,12 @@ def mobility_phase_dynamic(
             f"engine's {_STAMP_BITS}-bit stamp domain; use scheduler='naive' "
             "or 'sync' for such runs"
         )
+
+
+def _staged_layout(state: SimState, config: SimConfig):
+    """Shared container geometry for the in-jit and host-chunked variants:
+    (config with clamped spawn_depth, capacity, append window, padded
+    field-layout capacity)."""
     c = state.capacity
     _, tile = _tile_dims(config)
     # window headroom: the fast append writes a full window at offset n;
@@ -799,6 +795,22 @@ def mobility_phase_dynamic(
     d_fit = max(1, budget_bytes // (padded_capacity * 48))
     if config.spawn_depth > d_fit:
         config = config.replace(spawn_depth=int(d_fit))
+    return config, c, window, padded_capacity
+
+
+def mobility_phase_dynamic(
+    state: SimState, poisson_step, table, config: SimConfig, t_steps
+):
+    """Work-list fixed point over fused kernel sweeps (fully on device).
+
+    Every sweep advances all unfinished lanes (fresh particles, children
+    appended by earlier sweeps, suspended parents) as far as they can go;
+    the loop ends when no lane is unfinished.  Exact for unbounded
+    ionization chains; terminates because every suspended lane has staged
+    >= spawn_depth children and resumes with an empty buffer.
+    """
+    _staged_checks(state, config)
+    config, c, window, padded_capacity = _staged_layout(state, config)
     scalars = jnp.stack(
         [
             jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32),
@@ -835,3 +847,113 @@ def mobility_phase_dynamic(
         _is_finished(state.status), _decode_finished(state.status), state.status
     )
     return state._replace(status=status), {"pushes_lo": lo, "pushes_hi": hi}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "capacity", "window", "padded_capacity")
+)
+def _staged_begin_jit(
+    state: SimState,
+    config: SimConfig, capacity: int, window: int, padded_capacity: int,
+):
+    return _state_to_fields(state, padded_capacity)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "capacity", "window", "padded_capacity")
+)
+def _staged_span_jit(
+    fields, n, lo, hi, k, table, scalars,
+    config: SimConfig, capacity: int, window: int, padded_capacity: int,
+):
+    """Up to ``k`` sweep passes of the work-list fixed point as ONE bounded
+    dispatch.  ``k`` is traced, so a single compilation serves every chunk
+    size.  Returns (fields, n, lo, hi, more): ``more`` is true while any
+    lane is still unfinished — the host loop's continuation flag."""
+
+    def cond(carry):
+        i, fields_, _n, _lo, _hi = carry
+        return (i < k) & jnp.any(_is_unfinished(fields_[9]))
+
+    def body(carry):
+        i, fields_, n_, lo_, hi_ = carry
+        new_fields, children, pass_pushes = _sweep_pass(
+            fields_, table, scalars, config, padded_capacity
+        )
+        fields_, n_ = _append_staged(new_fields, n_, children, capacity, window)
+        lo_sum = lo_ + pass_pushes[0]
+        hi_ = hi_ + pass_pushes[1] + (lo_sum >> 30)
+        lo_ = lo_sum & ((1 << 30) - 1)
+        return i + 1, fields_, n_, lo_, hi_
+
+    zero = jnp.zeros((), jnp.int32)
+    _, fields, n, lo, hi = jax.lax.while_loop(
+        cond, body, (zero, fields, n, lo, hi)
+    )
+    return fields, n, lo, hi, jnp.any(_is_unfinished(fields[9]))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "capacity", "window", "padded_capacity")
+)
+def _staged_end_jit(
+    state: SimState, fields, n,
+    config: SimConfig, capacity: int, window: int, padded_capacity: int,
+):
+    state = _fields_to_state(state, fields)._replace(n=n)
+    status = jnp.where(
+        _is_finished(state.status), _decode_finished(state.status), state.status
+    )
+    return state._replace(status=status)
+
+
+def mobility_phase_dynamic_host(
+    state: SimState, poisson_step, table, config: SimConfig, t_steps,
+    pass_chunk: int = 1, stop_on_overflow: bool = True,
+):
+    """mobility_phase_dynamic with the work-list fixed point driven as a
+    HOST loop of bounded ``pass_chunk``-pass dispatches.
+
+    Bit-exact vs the in-jit phase: the dispatches partition the identical
+    pass sequence over the identical field-layout carry (which stays on
+    device between calls) — only the loop driver moves to the host.
+
+    Why it exists: the intermittent TPU worker fault's incidence grows with
+    single-dispatch runtime (STATUS.md) — at the canonical 512^3 config a
+    dynamic_old T>=800 Poisson step is one multi-minute dispatch and
+    repeatedly faulted the worker (r3 poison ledger), while short
+    dispatches have never faulted.  The per-dispatch continuation-flag
+    readback (~0.2 s over the tunnel) is amortized over seconds-long
+    passes.  Mirror of poisson_step_naive_host's fix for the naive tails.
+
+    ``stop_on_overflow``: as in poisson_step_naive_host — when the caller
+    redoes an overflowed step at a bigger bucket anyway, remaining passes
+    are wasted work; at the TOP bucket the caller passes False and the
+    fixed point runs to completion (accepted-overflow regime, reference
+    src/pic.cu:544)."""
+    _staged_checks(state, config)
+    config, c, window, padded_capacity = _staged_layout(state, config)
+    statics = dict(
+        config=config, capacity=c, window=window,
+        padded_capacity=padded_capacity,
+    )
+    scalars = jnp.stack(
+        [
+            jnp.asarray(poisson_step, jnp.int32).astype(jnp.int32),
+            jnp.asarray(t_steps, jnp.int32),
+        ]
+    )
+    fields = _staged_begin_jit(state, **statics)
+    zero = jnp.zeros((), jnp.int32)
+    n, lo, hi = state.n, zero, zero
+    k = jnp.asarray(pass_chunk, jnp.int32)
+    while True:
+        fields, n, lo, hi, more = _staged_span_jit(
+            fields, n, lo, hi, k, table, scalars, **statics
+        )
+        if not bool(more):
+            break
+        if stop_on_overflow and int(n) > c:
+            break  # overflow: the caller redoes at a bigger bucket
+    state = _staged_end_jit(state, fields, n, **statics)
+    return state, {"pushes_lo": lo, "pushes_hi": hi}

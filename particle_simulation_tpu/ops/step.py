@@ -375,6 +375,37 @@ def poisson_step_naive_host(
     return _sync_finalize_jit(state, n_start, lo, hi, cfg)
 
 
+def poisson_step_staged_host(
+    state: SimState, poisson_index, table, config: SimConfig,
+    pass_chunk: int = 1, stop_on_overflow: bool = True,
+) -> Tuple[SimState, dict]:
+    """One dynamic_old Poisson step with the staged engine's work-list
+    fixed point driven as a host loop of bounded ``pass_chunk``-pass
+    dispatches (ops/pallas/push_mcc.mobility_phase_dynamic_host) instead
+    of one whole-phase dispatch.
+
+    Bit-exact vs poisson_step: the dispatches execute the identical pass
+    sequence over a device-resident carry; grid phase and finalize are
+    the same jits the sync/naive host wrappers share.  Exists for the
+    same reason as poisson_step_naive_host: at canonical scale a
+    dynamic_old T>=800 phase is one multi-minute dispatch and repeatedly
+    faults the TPU worker (STATUS.md), while short dispatches never have.
+    """
+    from .pallas.push_mcc import mobility_phase_dynamic_host
+
+    _check_stamp_domain(config)
+    cfg = _step_config(config)
+    T = int(config.poisson_timestep)
+    state = _sync_grid_jit(state, cfg)
+    n_start = state.n_clamped
+    state, info = mobility_phase_dynamic_host(
+        state, poisson_index, table, cfg,
+        jnp.asarray(T, jnp.int32),
+        pass_chunk=pass_chunk, stop_on_overflow=stop_on_overflow,
+    )
+    return _sync_finalize_jit(state, n_start, info["pushes_lo"], info["pushes_hi"], cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _sync_finalize_jit(state: SimState, n_start, lo, hi, config: SimConfig):
     overflow = state.n > state.capacity

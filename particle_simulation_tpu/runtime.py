@@ -318,6 +318,7 @@ def run_pic_device(
     w_start: int = 0,
     sync_host: bool = True,
     naive_chunk: int = 0,
+    staged_chunk: int = 0,
     row_ckpt: Optional[str] = None,
 ) -> RunData:
     """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
@@ -342,6 +343,7 @@ def run_pic_device(
     from .ops.step import (
         poisson_loop,
         poisson_step_naive_host,
+        poisson_step_staged_host,
         poisson_step_sync_host,
     )
 
@@ -358,6 +360,12 @@ def run_pic_device(
     # crash-prone canonical naive tails (T >= 400 single-dispatch phases
     # fault the TPU worker intermittently).
     use_naive_host = naive_chunk > 0 and config.scheduler == "naive"
+    # staged_chunk > 0 drives the dynamic_old work-list fixed point as a
+    # host loop of that many sweep passes per dispatch (bit-exact; see
+    # poisson_step_staged_host) — same fault workaround for the staged
+    # engine's crash-prone canonical tails (T >= 800 single-dispatch
+    # phases are multi-minute).
+    use_staged_host = staged_chunk > 0 and config.scheduler == "dynamic_old"
     # The state container lives at BUCKET capacity, not config.capacity:
     # after compaction the tail beyond the working prefix is always dead, so
     # merging back into a full-capacity container preserved nothing but
@@ -385,7 +393,7 @@ def run_pic_device(
     while done < config.poisson_steps:
         k = (
             1
-            if (use_sync_host or use_naive_host)
+            if (use_sync_host or use_naive_host or use_staged_host)
             else min(chunk_steps, config.poisson_steps - done)
         )
         w = max(_bucket_size(int(state.n), config.capacity), w_hint)
@@ -394,7 +402,7 @@ def run_pic_device(
             part = _slice_state(state, w) if w < state.capacity else state
             cfg_w = config.replace(capacity=w)
             t0 = time.perf_counter()
-            if use_sync_host or use_naive_host:
+            if use_sync_host or use_naive_host or use_staged_host:
                 # below config.capacity an overflowed step is redone at the
                 # next bucket, so the host loops may stop early; at the TOP
                 # bucket overflow is ACCEPTED (children dropped + counted,
@@ -405,6 +413,12 @@ def run_pic_device(
                 if use_sync_host:
                     final, m1 = poisson_step_sync_host(
                         part, jnp.uint32(done), table, cfg_w,
+                        stop_on_overflow=retried,
+                    )
+                elif use_staged_host:
+                    final, m1 = poisson_step_staged_host(
+                        part, jnp.uint32(done), table, cfg_w,
+                        pass_chunk=staged_chunk,
                         stop_on_overflow=retried,
                     )
                 else:
