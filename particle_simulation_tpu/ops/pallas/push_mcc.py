@@ -850,17 +850,25 @@ def mobility_phase_dynamic(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "capacity", "window", "padded_capacity")
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("config", "capacity", "window", "padded_capacity"),
 )
 def _staged_begin_jit(
     state: SimState,
     config: SimConfig, capacity: int, window: int, padded_capacity: int,
 ):
-    return _state_to_fields(state, padded_capacity)
+    # The post-grid state is DONATED: across the host-loop's dispatch
+    # boundaries every live buffer counts against HBM (the in-jit phase
+    # aliases these internally; the host variant must do so explicitly —
+    # without donation the canonical dyn_old bucket OOMs the chip).
+    return _state_to_fields(state, padded_capacity), state.n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "capacity", "window", "padded_capacity")
+    jax.jit, donate_argnums=(0,),  # only the field carry — the scalar
+    # carries (n, lo, hi) are bytes, and donating the shared zero
+    # constant twice is an Execute() error
+    static_argnames=("config", "capacity", "window", "padded_capacity"),
 )
 def _staged_span_jit(
     fields, n, lo, hi, k, table, scalars,
@@ -869,7 +877,14 @@ def _staged_span_jit(
     """Up to ``k`` sweep passes of the work-list fixed point as ONE bounded
     dispatch.  ``k`` is traced, so a single compilation serves every chunk
     size.  Returns (fields, n, lo, hi, more): ``more`` is true while any
-    lane is still unfinished — the host loop's continuation flag."""
+    lane is still unfinished — the host loop's continuation flag.
+
+    The carry is DONATED: each dispatch's outputs reuse its inputs'
+    buffers, so the field-layout arrays exist once, as in the in-jit
+    phase, instead of doubling across the call boundary (HBM OOM at the
+    canonical dyn_old bucket otherwise).  A faulted dispatch invalidates
+    the carry, which is fine — the process dies and the row resumes from
+    its per-Poisson-step snapshot."""
 
     def cond(carry):
         i, fields_, _n, _lo, _hi = carry
@@ -894,13 +909,22 @@ def _staged_span_jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "capacity", "window", "padded_capacity")
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("config", "capacity", "window", "padded_capacity"),
 )
 def _staged_end_jit(
-    state: SimState, fields, n,
+    fields, n,
     config: SimConfig, capacity: int, window: int, padded_capacity: int,
 ):
-    state = _fields_to_state(state, fields)._replace(n=n)
+    flat = [f.reshape(-1)[:capacity] for f in fields]
+    state = SimState(
+        pos=jnp.stack(flat[0:3], axis=1),
+        vel=jnp.stack(flat[3:6], axis=1),
+        acc=jnp.stack(flat[6:9], axis=1),
+        status=flat[9], id_hi=flat[10], id_lo=flat[11],
+        n=n,
+    )
+    # Decode finished markers back to the reference's status stamps.
     status = jnp.where(
         _is_finished(state.status), _decode_finished(state.status), state.status
     )
@@ -943,9 +967,10 @@ def mobility_phase_dynamic_host(
             jnp.asarray(t_steps, jnp.int32),
         ]
     )
-    fields = _staged_begin_jit(state, **statics)
+    fields, n = _staged_begin_jit(state, **statics)
+    del state  # donated to _staged_begin_jit
     zero = jnp.zeros((), jnp.int32)
-    n, lo, hi = state.n, zero, zero
+    lo, hi = zero, zero
     k = jnp.asarray(pass_chunk, jnp.int32)
     while True:
         fields, n, lo, hi, more = _staged_span_jit(
@@ -955,5 +980,5 @@ def mobility_phase_dynamic_host(
             break
         if stop_on_overflow and int(n) > c:
             break  # overflow: the caller redoes at a bigger bucket
-    state = _staged_end_jit(state, fields, n, **statics)
+    state = _staged_end_jit(fields, n, **statics)
     return state, {"pushes_lo": lo, "pushes_hi": hi}
