@@ -777,7 +777,9 @@ def _staged_checks(state: SimState, config: SimConfig) -> None:
         )
 
 
-def _staged_layout(state: SimState, config: SimConfig):
+def _staged_layout(
+    state: SimState, config: SimConfig, budget_bytes: int = 4 * 1024**3
+):
     """Shared container geometry for the in-jit and host-chunked variants:
     (config with clamped spawn_depth, capacity, append window, padded
     field-layout capacity)."""
@@ -791,7 +793,6 @@ def _staged_layout(state: SimState, config: SimConfig):
     # Child staging costs spawn_depth * padded_capacity * 48 B; clamp the
     # depth so it fits the staging budget (suspend/resume keeps physics
     # exact at ANY depth >= 1, shallower just means more sweeps).
-    budget_bytes = 4 * 1024**3
     d_fit = max(1, budget_bytes // (padded_capacity * 48))
     if config.spawn_depth > d_fit:
         config = config.replace(spawn_depth=int(d_fit))
@@ -956,7 +957,15 @@ def mobility_phase_dynamic_host(
     fixed point runs to completion (accepted-overflow regime, reference
     src/pic.cu:544)."""
     _staged_checks(state, config)
-    config, c, window, padded_capacity = _staged_layout(state, config)
+    # Tighter staging budget than the in-jit phase: the span boundary
+    # keeps the field carry alive on both sides of each dispatch (the
+    # carry donation is reported unusable on this backend), so the 4 GiB
+    # in-jit staging allowance OOM'd the chip at the canonical T=800
+    # avalanche bucket (21M slots).  Shallower staging is physics-exact
+    # (suspend/resume), it just takes more passes.
+    config, c, window, padded_capacity = _staged_layout(
+        state, config, budget_bytes=1 * 1024**3
+    )
     statics = dict(
         config=config, capacity=c, window=window,
         padded_capacity=padded_capacity,
