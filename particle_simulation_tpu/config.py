@@ -66,10 +66,11 @@ class SimConfig:
     # block2+unroll2 1.121e9 vs base 1.065e9 pushes/s (+5.3%), all
     # cadences oracle-equal within the mode (tests/test_rng_modes.py).
     rng_mode: str = "block2"
-    # Worklog T-loop steps per fori_loop iteration (1 or 2).  2 halves the
-    # loop-carry VMEM round-trips (the measured dominant spill cost) and
-    # enables the pair-fused cipher under rng_mode="block2"; bit-identical
-    # physics for either value at fixed rng_mode.
+    # Worklog T-loop steps per fori_loop iteration (1, 2 or 4).  2 halves
+    # the loop-carry VMEM round-trips (the measured dominant spill cost)
+    # and enables the pair-fused cipher under rng_mode="block2"; 4 halves
+    # the carry traffic again at the cost of extra live registers;
+    # bit-identical physics for every value at fixed rng_mode.
     worklog_unroll: int = 2
     # Fast-append window for the staged engine: per-sweep spawns up to this
     # count take the windowed gather+dynamic_update_slice path.

@@ -602,33 +602,42 @@ def _worklog_kernel(
                 upper = jnp.minimum(t0 + hz - 1, t_steps)
         else:
             upper = t_steps
-        if config.worklog_unroll == 2:
-            # Two mobility steps per fori_loop iteration: the loop carries
-            # round-trip VMEM once per ITERATION (the measured dominant
-            # spill cost, DESIGN.md), so per-step carry traffic halves; and
-            # under rng_mode="block2" ONE pair block (rng.pair_draws)
-            # replaces two per-step ciphers.  Pair bases are GLOBALLY
-            # aligned (t even) so draws are identical across pass/resume
-            # boundaries; the half-steps outside [t0, upper] run fully
-            # masked (entry: t0-1 < every start0; exit: the `live` gate).
+        if config.worklog_unroll in (2, 4):
+            # worklog_unroll mobility steps per fori_loop iteration: the
+            # loop carries round-trip VMEM once per ITERATION (the measured
+            # dominant spill cost, DESIGN.md), so per-step carry traffic
+            # divides by the unroll; and under rng_mode="block2" ONE pair
+            # block (rng.pair_draws) replaces two per-step ciphers.  Pair
+            # bases are GLOBALLY aligned (t even) so draws are identical
+            # across pass/resume/unroll boundaries; the half-steps outside
+            # [t0, upper] run fully masked (entry: t0-1 < every start0;
+            # exit: the `live` gates — at unroll=4 the second pair's even
+            # step may itself straddle upper, hence its own gate).
+            U = config.worklog_unroll
             e0 = (t0 // 2) * 2
-            n_pairs = jnp.maximum((upper - e0) // 2 + 1, 0)
+            n_iters = jnp.maximum((upper - e0) // U + 1, 0)
             use_pair = config.rng_mode == "block2"
 
-            def pair_body(k, carry):
-                t = e0 + 2 * k
-                if use_pair:
-                    d_even, d_odd = rng.pair_draws(
-                        config.seed, id0[0], id0[1], p_step,
-                        t.astype(jnp.uint32), 0.0, 100.0,
-                        rounds=config.rng_rounds,
+            def unrolled_body(k, carry):
+                base = e0 + U * k
+                for half in range(0, U, 2):
+                    tb = base + half
+                    if use_pair:
+                        d_even, d_odd = rng.pair_draws(
+                            config.seed, id0[0], id0[1], p_step,
+                            tb.astype(jnp.uint32), 0.0, 100.0,
+                            rounds=config.rng_rounds,
+                        )
+                    else:
+                        d_even = d_odd = None
+                    carry = one_step(
+                        tb, carry, d_even,
+                        None if half == 0 else tb <= upper,
                     )
-                else:
-                    d_even = d_odd = None
-                carry = one_step(t, carry, d_even, None)
-                return one_step(t + 1, carry, d_odd, (t + 1) <= upper)
+                    carry = one_step(tb + 1, carry, d_odd, (tb + 1) <= upper)
+                return carry
 
-            final = jax.lax.fori_loop(0, n_pairs, pair_body, init)
+            final = jax.lax.fori_loop(0, n_iters, unrolled_body, init)
         else:
             final = jax.lax.fori_loop(
                 t0, upper + 1, lambda t, c: one_step(t, c, None, None), init

@@ -115,10 +115,13 @@ def _final(cfg, table):
     return sorted_particle_array(state), metrics
 
 
-def test_worklog_block2_unrolled_matches_oracle(const_table):
-    """worklog (unroll=2 + pair-fused block2 draws) vs the pure-JAX cadences
-    under the same rng_mode: exact multiset + metrics equality."""
-    cfg = _CFG.replace(rng_mode="block2", worklog_unroll=2)
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_worklog_block2_unrolled_matches_oracle(const_table, unroll):
+    """worklog (unrolled T-loop + pair-fused block2 draws) vs the pure-JAX
+    cadences under the same rng_mode: exact multiset + metrics equality.
+    T=7 makes the unroll=4 loop's last iteration straddle ``upper`` at BOTH
+    its second pair's even step and the odd tail — every gate exercised."""
+    cfg = _CFG.replace(rng_mode="block2", worklog_unroll=unroll)
     arr_w, m_w = _final(cfg, const_table)
     arr_n, m_n = _final(cfg.replace(scheduler="naive"), const_table)
     np.testing.assert_array_equal(arr_w, arr_n)
@@ -135,23 +138,26 @@ def test_worklog_block2_sync_oracle(const_table):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("unroll", [2, 4])
 @pytest.mark.parametrize("mode", ["perstep", "block2"])
-def test_worklog_unroll2_bitexact_vs_unroll1(const_table, mode):
+def test_worklog_unrolled_bitexact_vs_unroll1(const_table, mode, unroll):
     """The unroll is a pure rescheduling of the same per-step math: final
     state and every metric must match unroll=1 exactly at fixed rng_mode."""
     cfg = _CFG.replace(rng_mode=mode)
     arr1, m1 = _final(cfg.replace(worklog_unroll=1), const_table)
-    arr2, m2 = _final(cfg.replace(worklog_unroll=2), const_table)
+    arr2, m2 = _final(cfg.replace(worklog_unroll=unroll), const_table)
     np.testing.assert_array_equal(arr1, arr2)
     assert m1 == m2
 
 
 @pytest.mark.slow
-def test_worklog_unroll2_with_horizon_segments(const_table):
-    """Straddling pairs at horizon-window uppers: the (t+1) <= upper gate
-    must stop the odd half-step exactly at the window end."""
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_worklog_unrolled_with_horizon_segments(const_table, unroll):
+    """Straddling pairs at horizon-window uppers: the half-step gates must
+    stop execution exactly at the window end (width-3 windows land upper on
+    every residue mod 4, so unroll=4 exercises both in-iteration gates)."""
     cfg = _CFG.replace(
-        rng_mode="block2", worklog_unroll=2,
+        rng_mode="block2", worklog_unroll=unroll,
         worklog_horizon=3, worklog_start_buckets=2,
     )
     arr_w, m_w = _final(cfg, const_table)
