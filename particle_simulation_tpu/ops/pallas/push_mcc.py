@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ... import rng
 from ...config import SimConfig
+from ...constants import STATUS_DEAD, STATUS_EMPTY
 from ...state import SimState
 from ..physics import Particles, make_kick, update_particles
 from .. import population
@@ -906,7 +907,65 @@ def _staged_span_jit(
     _, fields, n, lo, hi = jax.lax.while_loop(
         cond, body, (zero, fields, n, lo, hi)
     )
-    return fields, n, lo, hi, jnp.any(_is_unfinished(fields[9]))
+    # piggybacked reclamation trigger: DEAD rows below n (the host loop
+    # already blocks on this dispatch's outputs, so the extra scalar is a
+    # free readback)
+    P = padded_capacity
+    slot = jax.lax.broadcasted_iota(jnp.int32, (P // 128, 128), 0) * 128 \
+        + jax.lax.broadcasted_iota(jnp.int32, (P // 128, 128), 1)
+    n_clamp = jnp.minimum(n, capacity)
+    dead = jnp.sum(
+        (fields[9] == STATUS_DEAD) & (slot < n_clamp), dtype=jnp.int32
+    )
+    return fields, n, lo, hi, jnp.any(_is_unfinished(fields[9])), dead
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("config", "capacity", "window", "padded_capacity"),
+)
+def _staged_reclaim_jit(
+    fields, n,
+    config: SimConfig, capacity: int, window: int, padded_capacity: int,
+):
+    """Mid-phase dead-slot reclamation in the staged field layout: drop
+    DEAD rows, close ranks (stable), preserve every other status verbatim
+    (unfinished -1 / spawn stamps > 0 / suspension packs / finished
+    encodings all still carry meaning inside the fixed point).
+
+    Physics-exact for the same reason population.reclaim is: draws are
+    keyed by genealogy, never by slot, and tile assignment is just slot
+    order.  Exists because the canonical dynamic_old T>=800 avalanche
+    accumulates ~30M appended-then-died rows against ~1M live — the
+    un-reclaimed bucket ladder OOMs the chip (STATUS.md) while the live
+    population fits comfortably.
+
+    Returns (fields, n_new, reclaimed)."""
+    import jax.lax as lax
+
+    P = padded_capacity
+    slot = jnp.arange(P, dtype=jnp.int32)
+    n_clamp = jnp.minimum(n, capacity)
+    status = fields[9].reshape(-1)
+    live = (slot < n_clamp) & (status != STATUS_DEAD) & (status != STATUS_EMPTY)
+    perm, n_new = population.compaction_perm(live)
+    reclaimed = n_clamp - n_new
+    keep = slot < n_new
+    src = jnp.where(keep, perm, P - 1)
+
+    b = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+    packed = jnp.stack([b(f.reshape(-1)) for f in fields], axis=1)
+    rows = packed.at[src].get(indices_are_sorted=True, mode="promise_in_bounds")
+    rows = jnp.where(keep[:, None], rows, 0)
+    # tuple, not list: the pytree structure must match _state_to_fields'
+    # exactly or the next _staged_span_jit call mints a second compilation
+    out = tuple(
+        lax.bitcast_convert_type(rows[:, i], _field_dtype(name)).reshape(
+            P // 128, 128
+        )
+        for i, name in enumerate(FIELD_NAMES)
+    )
+    return out, n_new, reclaimed
 
 
 @functools.partial(
@@ -980,14 +1039,24 @@ def mobility_phase_dynamic_host(
     del state  # donated to _staged_begin_jit
     zero = jnp.zeros((), jnp.int32)
     lo, hi = zero, zero
+    reclaimed = zero
     k = jnp.asarray(pass_chunk, jnp.int32)
+    from ..step import _RECLAIM_MIN  # tests monkeypatch it; read live
     while True:
-        fields, n, lo, hi, more = _staged_span_jit(
+        fields, n, lo, hi, more, dead = _staged_span_jit(
             fields, n, lo, hi, k, table, scalars, **statics
         )
         if not bool(more):
             break
         if stop_on_overflow and int(n) > c:
             break  # overflow: the caller redoes at a bigger bucket
+        # Reclaim DEAD rows between spans once they dominate: the canonical
+        # T>=800 avalanche's cumulative churn (~30M dead against ~1M live)
+        # otherwise climbs the bucket ladder past HBM (STATUS.md OOM).
+        # Skipped in the accepted-overflow regime (n > c) to stay
+        # bit-exact with the in-jit phase's drop accounting.
+        if int(n) <= c and int(dead) >= max(_RECLAIM_MIN, int(n) // 4):
+            fields, n, r = _staged_reclaim_jit(fields, n, **statics)
+            reclaimed = reclaimed + r
     state = _staged_end_jit(fields, n, **statics)
-    return state, {"pushes_lo": lo, "pushes_hi": hi}
+    return state, {"pushes_lo": lo, "pushes_hi": hi, "reclaimed": reclaimed}

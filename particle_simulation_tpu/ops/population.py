@@ -342,3 +342,78 @@ def compact(state: SimState) -> SimState:
         id_lo=lax.bitcast_convert_type(rows[:, 10], jnp.uint32),
         n=n_new,
     )
+
+
+def reclaim(state: SimState):
+    """Mid-phase dead-slot reclamation: drop DEAD rows, close ranks
+    (stable), PRESERVE every surviving status verbatim.
+
+    Unlike :func:`compact` (the Poisson-step-boundary compaction, which
+    resets survivors to ALIVE), this runs INSIDE a mobility phase, where
+    statuses still carry meaning — spawn stamps (>0), suspension packs
+    (fused engines), ALIVE — so the status column is gathered like any
+    other field.  Physics is invariant: draws are keyed by particle
+    genealogy (rng.py), never by slot, and the final comparison is the
+    sorted multiset, so removing dead rows early is unobservable except
+    through ``n`` — callers must add the returned count back into their
+    added/removed accounting to keep metrics identical to the
+    no-reclamation path.
+
+    The reference never does this (its 5e7-slot GPU container absorbs a
+    whole phase's cumulative appends, src/pic.cu:127-131); on this TPU the
+    canonical dynamic_old/naive T>=800 avalanche exceeds the largest
+    HBM-feasible bucket *cumulatively* while live population stays ~1M —
+    reclamation keeps the working bucket sized by LIVE particles.
+
+    Returns (state, reclaimed) where reclaimed (i32) counts dropped rows.
+    """
+    import jax.lax as lax
+
+    c = state.capacity
+    slot = jnp.arange(c, dtype=jnp.int32)
+    # live = ALIVE or spawn-stamped (>0); DEAD and EMPTY rows below n are
+    # both reclaimable — exactly the rows the finalize compaction would
+    # count in ``removed``, so the accounting transfers one-to-one.
+    live = (slot < state.n_clamped) & is_live(state.status)
+    perm, n_new = compaction_perm(live)
+    reclaimed = state.n_clamped - n_new
+    keep = slot < n_new
+    src = jnp.where(keep, perm, c - 1)
+
+    if state.pos.dtype != jnp.float32:
+        def take(arr):
+            g = _sorted_take(arr, src)
+            mask = keep[(...,) + (None,) * (arr.ndim - 1)] if arr.ndim > 1 else keep
+            return jnp.where(mask, g, jnp.zeros((), arr.dtype))
+
+        out = SimState(
+            pos=take(state.pos), vel=take(state.vel), acc=take(state.acc),
+            status=jnp.where(
+                keep, _sorted_take(state.status, src), STATUS_EMPTY
+            ).astype(jnp.int32),
+            id_hi=take(state.id_hi), id_lo=take(state.id_lo), n=n_new,
+        )
+        return out, reclaimed
+
+    b = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+    packed = jnp.concatenate(
+        [b(state.pos), b(state.vel), b(state.acc),
+         state.status[:, None], b(state.id_hi)[:, None],
+         b(state.id_lo)[:, None]],
+        axis=1,
+    )
+    rows = packed.at[src].get(indices_are_sorted=True, mode="promise_in_bounds")
+    rows = jnp.where(keep[:, None], rows, 0)
+    f = lambda cols: lax.bitcast_convert_type(cols, jnp.float32)
+
+    out = SimState(
+        pos=f(rows[:, 0:3]).astype(state.pos.dtype),
+        vel=f(rows[:, 3:6]).astype(state.vel.dtype),
+        acc=f(rows[:, 6:9]),
+        # STATUS_EMPTY is 0, which the masked-row zero already encodes
+        status=rows[:, 9],
+        id_hi=lax.bitcast_convert_type(rows[:, 10], jnp.uint32),
+        id_lo=lax.bitcast_convert_type(rows[:, 11], jnp.uint32),
+        n=n_new,
+    )
+    return out, reclaimed

@@ -142,7 +142,7 @@ def _check_stamp_domain(config: SimConfig) -> None:
     larger mobility-step counts would alias the encoding and corrupt physics
     silently (ADVICE r1) — reject them up front.  Same spirit for the
     draw-protocol knobs: an unknown ``rng_mode`` would otherwise only fail
-    deep inside kernel tracing, and a ``worklog_unroll`` outside {1, 2}
+    deep inside kernel tracing, and a ``worklog_unroll`` outside {1, 2, 4}
     would silently run the unroll=1 path."""
     if config.scheduler in ("dynamic", "dynamic_old") and (
         config.poisson_timestep + 2 >= (1 << 15)
@@ -154,9 +154,9 @@ def _check_stamp_domain(config: SimConfig) -> None:
         )
     if config.rng_mode not in ("perstep", "block2"):
         raise ValueError(f"unknown rng_mode {config.rng_mode!r}")
-    if config.worklog_unroll not in (1, 2):
+    if config.worklog_unroll not in (1, 2, 4):
         raise ValueError(
-            f"worklog_unroll={config.worklog_unroll} unsupported (1 or 2)"
+            f"worklog_unroll={config.worklog_unroll} unsupported (1, 2 or 4)"
         )
 
 
@@ -311,7 +311,7 @@ def _sync_generation_slice_jit(
     return state, lo, hi
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("config",))
 def _naive_span_jit(
     state: SimState, poisson_index, table, t_lo, t_hi, lo, hi,
     config: SimConfig,
@@ -356,13 +356,23 @@ def poisson_step_naive_host(
     dropped and counted (reference semantics, src/pic.cu:544) while the
     existing population keeps simulating — so the caller passes False and
     every chunk runs, keeping this path bit-exact vs mobility_phase_naive's
-    single fori_loop in the accepted-overflow regime too."""
+    single fori_loop in the accepted-overflow regime too.
+
+    Between chunks, DEAD rows are reclaimed (population.reclaim) once the
+    container is large: at the canonical T>=600 tails the phase's
+    CUMULATIVE appends (~30M+) dwarf the live population (~1M) and the
+    un-reclaimed bucket ladder exceeds the largest HBM-feasible bucket
+    (the dyn_old T=800 OOM, STATUS.md) — reclamation sizes the bucket by
+    live particles instead.  Physics-exact (draws are genealogy-keyed);
+    the reclaimed count folds into added/removed so metrics stay identical
+    to the in-jit path's accounting."""
     cfg = _step_config(config)
     T = int(config.poisson_timestep)
     state = _sync_grid_jit(state, cfg)
     n_start = state.n_clamped
     zero = jnp.zeros((), jnp.int32)
     lo, hi = zero, zero
+    reclaimed = zero
     for t0 in range(1, T + 1, t_chunk):
         t1 = min(t0 + t_chunk, T + 1)
         state, lo, hi = _naive_span_jit(
@@ -372,7 +382,12 @@ def poisson_step_naive_host(
         )
         if stop_on_overflow and int(state.n) > state.capacity:
             break  # overflow: the caller redoes at a bigger bucket
-    return _sync_finalize_jit(state, n_start, lo, hi, cfg)
+        if t1 <= T and int(state.n) <= state.capacity and (
+            int(state.n) >= _RECLAIM_MIN
+        ):
+            state, r = _reclaim_jit(state)
+            reclaimed = reclaimed + r
+    return _sync_finalize_jit(state, n_start, lo, hi, cfg, reclaimed)
 
 
 def poisson_step_staged_host(
@@ -403,15 +418,38 @@ def poisson_step_staged_host(
         jnp.asarray(T, jnp.int32),
         pass_chunk=pass_chunk, stop_on_overflow=stop_on_overflow,
     )
-    return _sync_finalize_jit(state, n_start, info["pushes_lo"], info["pushes_hi"], cfg)
+    return _sync_finalize_jit(
+        state, n_start, info["pushes_lo"], info["pushes_hi"], cfg,
+        info["reclaimed"],
+    )
+
+
+# Containers below this hold so few rows that argsort-compaction between
+# host-chunk dispatches cannot pay for itself (and every distinct bucket
+# shape would mint a _reclaim_jit compilation).  Tests monkeypatch it to 0
+# to force reclamation in tiny configs.
+_RECLAIM_MIN = 1 << 20
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _reclaim_jit(state: SimState):
+    return population.reclaim(state)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _sync_finalize_jit(state: SimState, n_start, lo, hi, config: SimConfig):
+def _sync_finalize_jit(
+    state: SimState, n_start, lo, hi, config: SimConfig, reclaimed=0
+):
+    """``reclaimed`` — rows dropped by mid-phase reclamation (host-chunked
+    paths); folded back into added/removed so metrics are bit-identical to
+    the no-reclamation accounting: without reclamation every such row would
+    still occupy the container here (n_end = n_end' + R), so
+    added = n_end - n_start and removed = n_end - n_final are both restored
+    by adding R to the primed quantities."""
     overflow = state.n > state.capacity
-    added = state.n_clamped - n_start
+    added = state.n_clamped - n_start + reclaimed
     compacted = population.compact(state)
-    removed = state.n_clamped - compacted.n
+    removed = state.n_clamped - compacted.n + reclaimed
     metrics = {
         "n": compacted.n,
         "added": added,
