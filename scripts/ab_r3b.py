@@ -113,6 +113,9 @@ VARIANTS = {
         "worklog_spawn_guard": True,
     },
     "block2u1": {"rng_mode": "block2"},  # control: new stream, old loop
+    # round-3e: quarter the loop-carry round-trips (two pair blocks per
+    # fori iteration); same block2 stream, bit-exact vs unroll 2
+    "block2u4": {"rng_mode": "block2", "worklog_unroll": 4},
 }
 
 
