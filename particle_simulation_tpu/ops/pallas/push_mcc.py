@@ -211,6 +211,16 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
     def lookup(split_ref, remove_ref, aux_ref, energy, u, bits, band=None,
                prep=None):
         shape = energy.shape
+        if mode == "probeconst":
+            # TIMING PROBE ONLY (wrong physics): constant chances with
+            # bench-like churn, zero table traffic — measures the true
+            # cost of the chunk-swept lookup inside the real engine
+            # (upper bound for any visit-count-reduction scheme, e.g. an
+            # event-skipping draw protocol).
+            return (
+                jnp.full(shape, 0.002, jnp.float32),
+                jnp.full(shape, 0.002, jnp.float32),
+            )
         idx = energy_to_index(energy)
         hi = idx // LANES
         lo = idx % LANES

@@ -116,6 +116,9 @@ VARIANTS = {
     # round-3e: quarter the loop-carry round-trips (two pair blocks per
     # fori iteration); same block2 stream, bit-exact vs unroll 2
     "block2u4": {"rng_mode": "block2", "worklog_unroll": 4},
+    # TIMING PROBE (wrong physics, final_n diverges by design): no table
+    # traffic at all — the upper bound for event-skipping lookup schemes
+    "probeconst": {"lookup_mode": "probeconst"},
 }
 
 
