@@ -67,10 +67,13 @@ def sweep_configs(profile: str = "full") -> List[SimConfig]:
                     rng_mode="perstep",
                     rng_rounds=13,
                     # timing provenance too: the recorded Dynamic column
-                    # measured the unroll=1 T-loop; keep resumed rows on
-                    # the same engine build (physics is bit-identical for
-                    # either value, times are not — ab_r3d)
+                    # measured the unroll=1 T-loop with the staticthresh
+                    # lookup; keep resumed rows on the same engine build
+                    # (physics is bit-identical for any of these knobs,
+                    # times are not — ab_r3d/r3e)
                     worklog_unroll=1,
+                    lookup_mode="staticthresh",
+                    lookup_hits=False,
                 )
             )
     return configs

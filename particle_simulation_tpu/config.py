@@ -102,7 +102,10 @@ class SimConfig:
     # window) so resumes cluster exactly at window boundaries: fewer idle
     # slots (probe: 0.542 -> 0.619 at K=32/4 segments), a few more passes.
     worklog_align: bool = False
-    lookup_mode: str = "staticthresh"  # staticthresh|staticguard|statichybrid|band0|pipeband|threshold|needband|minmax
+    # staticthresh|staticfull|staticguard|statichybrid|band0|pipeband|
+    # threshold|needband|minmax (+ staticthresh_noties/_noover/_floor2 and
+    # probeconst — TIMING PROBES, wrong physics, never production)
+    lookup_mode: str = "staticthresh"
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
     # Threshold-family lookups return decided booleans instead of f32
     # pseudo-chances (make_chunked_lookup(hits=True)): bit-identical

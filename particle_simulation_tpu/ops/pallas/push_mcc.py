@@ -203,6 +203,15 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         step (~1/3 of the visit's op count at S=128).  Callers build this
         ONCE before the T-loop and pass it via ``lookup(..., prep=...)``."""
         K = min(static_chunks, n_chunks - 1)
+        if mode == "staticfull":
+            # both threshold blocks of the stacked full table: prep holds
+            # 2*(K+1) rows — T(split) rows first, then T(split+remove)
+            stride = pl.cdiv(n_chunks, 8) * 8
+            return tuple(
+                jnp.broadcast_to(aux_ref[base + c, :][None, :], shape)
+                for base in (0, stride)
+                for c in range(K + 1)
+            )
         return tuple(
             jnp.broadcast_to(aux_ref[c, :][None, :], shape)
             for c in range(K + 1)
@@ -224,6 +233,56 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         idx = energy_to_index(energy)
         hi = idx // LANES
         lo = idx % LANES
+
+        if mode == "staticfull":
+            # EXACT full-payload threshold compare (pack_threshold_full):
+            # two i32 gathers per static visit, no tie fallback and no
+            # per-step undecided reductions.  Only the over-tail (hi > K,
+            # rare band escapees) keeps a dynamic sweep.
+            K = min(static_chunks, n_chunks - 1)
+            stride = pl.cdiv(n_chunks, 8) * 8
+
+            def full_chunk(c, block):
+                if prep is not None and isinstance(c, int) and c <= K:
+                    row = prep[block * (K + 1) + c]
+                else:
+                    row = jnp.broadcast_to(
+                        aux_ref[block * stride + c, :][None, :], shape
+                    )
+                return jnp.take_along_axis(row, lo, axis=1)
+
+            ts = jnp.zeros(shape, jnp.int32)
+            tt = jnp.zeros(shape, jnp.int32)
+            for c in range(K + 1):          # static unroll incl. chunk 0
+                sel = hi == c
+                ts = jnp.where(sel, full_chunk(c, 0), ts)
+                tt = jnp.where(sel, full_chunk(c, 1), tt)
+            over = hi > K
+            hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
+            hmax_o = jnp.max(jnp.where(over, hi, 1))
+
+            def full_body(c, acc):
+                ts_, tt_ = acc
+                sel = hi == c
+                return (
+                    jnp.where(sel, full_chunk(c, 0), ts_),
+                    jnp.where(sel, full_chunk(c, 1), tt_),
+                )
+
+            ts, tt = jax.lax.fori_loop(
+                jnp.maximum(K + 1, hmin_o), hmax_o + 1, full_body, (ts, tt)
+            )
+            p24 = jax.lax.bitcast_convert_type(
+                jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
+            )
+            s_hit = p24 < ts
+            t_hit = p24 < tt
+            if hits:
+                return s_hit, t_hit
+            big = jnp.float32(101.0)
+            sp = jnp.where(s_hit, big, 0.0)
+            rm = jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
+            return sp, rm
 
         def chunk_vals(c):
             sp_chunk = jnp.broadcast_to(split_ref[c, :][None, :], shape)
@@ -264,7 +323,15 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                 jnp.maximum(K + 1, hmin_o), hmax_o + 1, body, (sp, rm)
             )
 
-        if mode in ("threshold", "staticthresh", "staticguard"):
+        if mode in ("threshold", "staticguard") or mode.startswith("staticthresh"):
+            # TIMING PROBES (wrong physics on a ~2^-16 / rare-lane subset;
+            # never a production mode): staticthresh with the dynamic tail
+            # loops and their per-step bound reductions surgically removed,
+            # to attribute the lookup's measured cost (probeconst showed
+            # the full lookup is ~55% of the step) between the 9 static
+            # gathers and the tail machinery.
+            noover = mode in ("staticthresh_noover", "staticthresh_floor2")
+            noties = mode in ("staticthresh_noties", "staticthresh_floor2")
             # ---- coarse pass: ONE i32 gather per chunk (band0 structure) ----
             def th_chunk(c):
                 # static-unroll visits (python-int c) read the pre-broadcast
@@ -302,16 +369,17 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                 th = jax.lax.fori_loop(
                     jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th
                 )
-            elif mode == "staticthresh":
+            elif mode.startswith("staticthresh"):
                 th = jnp.zeros(shape, jnp.int32)
                 for c in range(K + 1):      # static unroll incl. chunk 0
                     th = jnp.where(hi == c, th_chunk(c), th)
-                over = hi > K
-                hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
-                hmax_o = jnp.max(jnp.where(over, hi, 1))
-                th = jax.lax.fori_loop(
-                    jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th
-                )
+                if not noover:
+                    over = hi > K
+                    hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
+                    hmax_o = jnp.max(jnp.where(over, hi, 1))
+                    th = jax.lax.fori_loop(
+                        jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th
+                    )
             else:
                 sel0 = hi == 0
                 th = jnp.where(sel0, th_chunk(0), 0)
@@ -326,6 +394,13 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
             tt8 = th & 0xFFFF
             s_hit = p8 < ts8
             t_hit = p8 < tt8
+            if noties:
+                # probe: resolve the ~2^-16/lane ties by the truncated
+                # compare alone — no undecided reductions, no f32 sweep
+                big = jnp.float32(101.0)
+                sp = jnp.where(s_hit, big, 0.0)
+                rm = jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
+                return sp, rm
             und = (p8 == ts8) | (p8 == tt8)
 
             # ---- exact fallback: f32 sweep over the undecided lanes only ----
@@ -376,7 +451,7 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         hmax_nz = jnp.max(jnp.where(mask_nz, hi, 1))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
-    if hits and mode not in ("threshold", "staticthresh", "staticguard"):
+    if hits and mode not in ("threshold", "staticthresh", "staticguard", "staticfull"):
         raise ValueError(f"hits protocol requires a threshold-family mode, got {mode!r}")
     lookup.prepare_static = prepare_static
     lookup.returns_hits = hits
@@ -431,6 +506,31 @@ def pack_threshold_table(table):
     n_chunks = pl.cdiv(pl.cdiv(n, LANES), 8) * 8
     pad = n_chunks * LANES - n
     return jnp.pad(packed, (0, pad)).reshape(n_chunks, LANES)
+
+
+def pack_threshold_full(table):
+    """(n, 2) chance table -> (2 * n_chunks8, 128) i32 stack of EXACT
+    24-bit integer thresholds: rows [0, n_chunks8) hold T(split), rows
+    [n_chunks8, 2*n_chunks8) hold T(split + remove) (see _exact_threshold;
+    ``u < c iff P24 < T(c)``).  The ``staticfull`` lookup compares the
+    draw's full 24-bit payload against both directly — two gathers per
+    visit but ZERO tie machinery: no undecided reductions and no dynamic
+    f32 fallback sweep in the per-step path.  Pad rows are 0 (certain
+    miss) and unreachable anyway (idx <= n - 1)."""
+    split = table[:, 0].astype(jnp.float32)
+    tot = split + table[:, 1].astype(jnp.float32)
+    ts = _exact_threshold(split)
+    tt = _exact_threshold(tot)
+    n = ts.shape[0]
+    n_chunks8 = pl.cdiv(pl.cdiv(n, LANES), 8) * 8
+    pad = n_chunks8 * LANES - n
+    return jnp.concatenate(
+        [
+            jnp.pad(ts, (0, pad)).reshape(n_chunks8, LANES),
+            jnp.pad(tt, (0, pad)).reshape(n_chunks8, LANES),
+        ],
+        axis=0,
+    )
 
 
 def chunk_bound(table):
@@ -493,8 +593,9 @@ def _mobility_kernel(
         mode = (
             "band0"
             if config.lookup_mode
-            in ("needband", "threshold", "pipeband", "staticthresh",
-                "staticguard")
+            in ("needband", "threshold", "pipeband", "staticguard",
+                "staticfull")
+            or config.lookup_mode.startswith("staticthresh")
             else config.lookup_mode
         )
         lookup = make_chunked_lookup(

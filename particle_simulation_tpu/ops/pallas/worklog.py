@@ -73,6 +73,7 @@ from .push_mcc import (
     _tile_dims,
     chunk_bound,
     make_chunked_lookup,
+    pack_threshold_full,
     pack_threshold_table,
 )
 
@@ -441,7 +442,8 @@ def _worklog_kernel(
         # are loop-invariant; in-loop each visit paid S/8 vreg broadcasts)
         prep = (
             lookup.prepare_static(aux_ref, (S, LANES))
-            if config.lookup_mode in ("staticthresh", "staticguard")
+            if config.lookup_mode in ("staticguard", "staticfull")
+            or config.lookup_mode.startswith("staticthresh")
             else None
         )
         # the velocity-kick products a*dt/2 are loop constants too
@@ -807,7 +809,11 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     S, TILE = _tile_dims(config)
     D = config.spawn_depth
     split2d, remove2d, n_chunks = _pad_tables(table)
-    if config.lookup_mode in ("threshold", "staticthresh", "staticguard"):
+    if config.lookup_mode == "staticfull":
+        aux = pack_threshold_full(table)           # (2 x 8-padded chunks, L) i32
+    elif config.lookup_mode in ("threshold", "staticguard") or (
+        config.lookup_mode.startswith("staticthresh")
+    ):
         aux = pack_threshold_table(table)          # (8-padded chunks, L) i32
     elif config.lookup_mode == "needband":
         aux = chunk_bound(table)                   # (1, L) f32

@@ -119,6 +119,19 @@ VARIANTS = {
     # TIMING PROBE (wrong physics, final_n diverges by design): no table
     # traffic at all — the upper bound for event-skipping lookup schemes
     "probeconst": {"lookup_mode": "probeconst"},
+    # round-3e lookup-cost attribution (probeconst = 2.5x base): which part
+    # of the lookup costs — the 9 static gathers, the over-tail dynamic
+    # sweep + bound reductions, or the tie-fallback sweep + reductions?
+    # floor2/noover/noties are probes (physics off by ~2^-16/lane);
+    # statichybrid is EXACT physics (2 f32 gathers/visit, no tie machinery)
+    "st_noties": {"lookup_mode": "staticthresh_noties"},
+    "st_noover": {"lookup_mode": "staticthresh_noover"},
+    "st_floor2": {"lookup_mode": "staticthresh_floor2"},
+    "shybrid": {"lookup_mode": "statichybrid"},
+    # EXACT candidate: full-24-bit threshold compare, 2 gathers/visit,
+    # zero tie machinery (only the over-tail stays dynamic)
+    "sfull": {"lookup_mode": "staticfull"},
+    "sfull+hits": {"lookup_mode": "staticfull", "lookup_hits": True},
 }
 
 

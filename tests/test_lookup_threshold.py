@@ -22,6 +22,7 @@ from particle_simulation_tpu.ops.pallas.push_mcc import (
     _pad_tables,
     chunk_bound,
     make_chunked_lookup,
+    pack_threshold_full,
     pack_threshold_table,
 )
 
@@ -41,6 +42,8 @@ def _mk_table(seed=7, n=10000):
     [("threshold", False), ("needband", False), ("band0", False),
      ("minmax", False), ("pipeband", False), ("statichybrid", False),
      ("staticthresh", False), ("staticguard", False),
+     # full-24-bit threshold compare: exact with no tie fallback at all
+     ("staticfull", False), ("staticfull", True),
      # boolean return protocol (lookup_hits=True): same outcomes, decided
      # booleans instead of f32 pseudo-chances
      ("threshold", True), ("staticthresh", True), ("staticguard", True)],
@@ -49,7 +52,9 @@ def test_lookup_modes_preserve_outcomes(mode, hits):
     table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
-        pack_threshold_table(table)
+        pack_threshold_full(table)
+        if mode == "staticfull"
+        else pack_threshold_table(table)
         if mode in ("threshold", "staticthresh", "staticguard")
         else chunk_bound(table)
     )

@@ -63,6 +63,14 @@ BASE = SimConfig(
         # the guarded static lookup skips statically unrolled chunk visits
         # by a per-step band cond — must stay bit-exact vs the oracle
         BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
+        # full-24-bit threshold compare (no tie fallback): the r3e
+        # candidate; low static_chunks forces its dynamic over-tail too
+        BASE.replace(lookup_mode="staticfull", lookup_static_chunks=3),
+        pytest.param(
+            BASE.replace(lookup_mode="staticfull", lookup_hits=True,
+                         lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         # boolean lookup protocol (decided hits instead of f32
         # pseudo-chances) — bit-exact by the threshold exactness argument
         BASE.replace(lookup_hits=True, lookup_static_chunks=3),
@@ -119,6 +127,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
+         "staticfull", "staticfull-hits",
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
          "spawn-guard", "spawn-guard-suspend"],
