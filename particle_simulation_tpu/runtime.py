@@ -437,7 +437,23 @@ def run_pic_device(
                 w = _bucket_size(w + 1, config.capacity)
                 continue
             break
-        w_hint = w
+        if use_sync_host or use_naive_host or use_staged_host:
+            # DOWNWARD hysteresis (r3e): mid-phase reclamation keeps the
+            # host-chunked paths' population near the LIVE count, so a
+            # bucket inherited from a crash-resume snapshot or an
+            # avalanche era can be 10x oversized — decay the hint one
+            # rung-halving per step toward the live population instead of
+            # pinning at the historical peak forever.  An undershoot just
+            # re-climbs (the chunked paths stop early on overflow, so a
+            # redo costs only the chunks before the overflow).  The
+            # whole-phase dispatch paths keep the sticky hint: their
+            # overflow redo costs an entire k-step dispatch.
+            w_hint = max(
+                _bucket_size(max(final_n, 1), config.capacity),
+                _bucket_size(w // 2 + 1, config.capacity),
+            )
+        else:
+            w_hint = w
         wall_total += wall
         lo = [int(x) for x in metrics["pushes_lo"]]
         hi = [int(x) for x in metrics["pushes_hi"]]

@@ -153,3 +153,34 @@ def test_naive_host_no_reclaim_above_threshold(const_table):
     got, got_m = _run(NAIVE_CFG, const_table, host_step)
     np.testing.assert_array_equal(ref, got)
     assert ref_m == got_m
+
+
+def test_bucket_decay_with_reclamation(monkeypatch):
+    """run_pic_device's host-chunked paths decay the bucket hint toward the
+    live population: a population that collapses (remove-heavy table) must
+    END on a smaller bucket than it started, and physics must match the
+    in-jit path exactly (the decay can only change WHERE work runs)."""
+    import jax.numpy as jnp
+
+    from particle_simulation_tpu.runtime import (
+        _bucket_size,
+        run_pic_device,
+        sorted_particle_array,
+    )
+
+    monkeypatch.setattr(step_mod, "_RECLAIM_MIN", 0)
+    # remove-heavy constant table: every collision kills, none split
+    table = jnp.tile(jnp.asarray([[0.0, 30.0]], jnp.float32), (10000, 1))
+    cfg = SimConfig(
+        init_n=200_000, capacity=1 << 19, poisson_steps=3,
+        poisson_timestep=4, grid_size=(16, 16, 16), scheduler="naive",
+    )
+    run = run_pic_device(cfg, table=table, naive_chunk=2)
+    w0 = _bucket_size(cfg.init_n, cfg.capacity)
+    assert run.final_n < cfg.init_n // 4  # the population really collapsed
+    assert run.last_bucket < w0
+    ref = run_pic_device(cfg, table=table)  # in-jit path, sticky hint
+    assert ref.final_n == run.final_n
+    np.testing.assert_array_equal(
+        sorted_particle_array(ref.state), sorted_particle_array(run.state)
+    )
