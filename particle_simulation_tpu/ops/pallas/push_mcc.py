@@ -203,7 +203,7 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         step (~1/3 of the visit's op count at S=128).  Callers build this
         ONCE before the T-loop and pass it via ``lookup(..., prep=...)``."""
         K = min(static_chunks, n_chunks - 1)
-        if mode == "staticfull":
+        if mode in ("staticfull", "staticfull2"):
             # both threshold blocks of the stacked full table: prep holds
             # 2*(K+1) rows — T(split) rows first, then T(split+remove)
             stride = pl.cdiv(n_chunks, 8) * 8
@@ -234,11 +234,14 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         hi = idx // LANES
         lo = idx % LANES
 
-        if mode == "staticfull":
+        if mode in ("staticfull", "staticfull2"):
             # EXACT full-payload threshold compare (pack_threshold_full):
             # two i32 gathers per static visit, no tie fallback and no
             # per-step undecided reductions.  Only the over-tail (hi > K,
-            # rare band escapees) keeps a dynamic sweep.
+            # rare band escapees) keeps a dynamic sweep — staticfull2
+            # additionally gates that whole tail (its two bound reductions
+            # + loop setup) behind ONE max-reduction cond, so the common
+            # all-lanes-in-band step pays a single reduce.
             K = min(static_chunks, n_chunks - 1)
             stride = pl.cdiv(n_chunks, 8) * 8
 
@@ -257,9 +260,6 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                 sel = hi == c
                 ts = jnp.where(sel, full_chunk(c, 0), ts)
                 tt = jnp.where(sel, full_chunk(c, 1), tt)
-            over = hi > K
-            hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
-            hmax_o = jnp.max(jnp.where(over, hi, 1))
 
             def full_body(c, acc):
                 ts_, tt_ = acc
@@ -269,9 +269,20 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                     jnp.where(sel, full_chunk(c, 1), tt_),
                 )
 
-            ts, tt = jax.lax.fori_loop(
-                jnp.maximum(K + 1, hmin_o), hmax_o + 1, full_body, (ts, tt)
-            )
+            def over_tail(acc):
+                over = hi > K
+                hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
+                hmax_o = jnp.max(jnp.where(over, hi, 1))
+                return jax.lax.fori_loop(
+                    jnp.maximum(K + 1, hmin_o), hmax_o + 1, full_body, acc
+                )
+
+            if mode == "staticfull2":
+                ts, tt = jax.lax.cond(
+                    jnp.max(hi) > K, over_tail, lambda a: a, (ts, tt)
+                )
+            else:
+                ts, tt = over_tail((ts, tt))
             p24 = jax.lax.bitcast_convert_type(
                 jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
             )
@@ -451,7 +462,8 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         hmax_nz = jnp.max(jnp.where(mask_nz, hi, 1))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
-    if hits and mode not in ("threshold", "staticthresh", "staticguard", "staticfull"):
+    if hits and mode not in ("threshold", "staticthresh", "staticguard",
+                             "staticfull", "staticfull2"):
         raise ValueError(f"hits protocol requires a threshold-family mode, got {mode!r}")
     lookup.prepare_static = prepare_static
     lookup.returns_hits = hits
@@ -594,7 +606,7 @@ def _mobility_kernel(
             "band0"
             if config.lookup_mode
             in ("needband", "threshold", "pipeband", "staticguard",
-                "staticfull")
+                "staticfull", "staticfull2")
             or config.lookup_mode.startswith("staticthresh")
             else config.lookup_mode
         )

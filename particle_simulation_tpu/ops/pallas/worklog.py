@@ -442,7 +442,8 @@ def _worklog_kernel(
         # are loop-invariant; in-loop each visit paid S/8 vreg broadcasts)
         prep = (
             lookup.prepare_static(aux_ref, (S, LANES))
-            if config.lookup_mode in ("staticguard", "staticfull")
+            if config.lookup_mode in ("staticguard", "staticfull",
+                                       "staticfull2")
             or config.lookup_mode.startswith("staticthresh")
             else None
         )
@@ -809,7 +810,7 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     S, TILE = _tile_dims(config)
     D = config.spawn_depth
     split2d, remove2d, n_chunks = _pad_tables(table)
-    if config.lookup_mode == "staticfull":
+    if config.lookup_mode in ("staticfull", "staticfull2"):
         aux = pack_threshold_full(table)           # (2 x 8-padded chunks, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")

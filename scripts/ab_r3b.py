@@ -132,6 +132,9 @@ VARIANTS = {
     # zero tie machinery (only the over-tail stays dynamic)
     "sfull": {"lookup_mode": "staticfull"},
     "sfull+hits": {"lookup_mode": "staticfull", "lookup_hits": True},
+    # staticfull with the over-tail cond-gated behind one max-reduce
+    "sfull2": {"lookup_mode": "staticfull2"},
+    "sfull2+hits": {"lookup_mode": "staticfull2", "lookup_hits": True},
 }
 
 

@@ -44,6 +44,7 @@ def _mk_table(seed=7, n=10000):
      ("staticthresh", False), ("staticguard", False),
      # full-24-bit threshold compare: exact with no tie fallback at all
      ("staticfull", False), ("staticfull", True),
+     ("staticfull2", False), ("staticfull2", True),
      # boolean return protocol (lookup_hits=True): same outcomes, decided
      # booleans instead of f32 pseudo-chances
      ("threshold", True), ("staticthresh", True), ("staticguard", True)],
@@ -53,7 +54,7 @@ def test_lookup_modes_preserve_outcomes(mode, hits):
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
         pack_threshold_full(table)
-        if mode == "staticfull"
+        if mode in ("staticfull", "staticfull2")
         else pack_threshold_table(table)
         if mode in ("threshold", "staticthresh", "staticguard")
         else chunk_bound(table)

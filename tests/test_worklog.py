@@ -71,6 +71,10 @@ BASE = SimConfig(
                          lookup_static_chunks=3),
             marks=pytest.mark.slow,
         ),
+        pytest.param(
+            BASE.replace(lookup_mode="staticfull2", lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         # boolean lookup protocol (decided hits instead of f32
         # pseudo-chances) — bit-exact by the threshold exactness argument
         BASE.replace(lookup_hits=True, lookup_static_chunks=3),
@@ -127,7 +131,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
-         "staticfull", "staticfull-hits",
+         "staticfull", "staticfull-hits", "staticfull2",
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
          "spawn-guard", "spawn-guard-suspend"],
