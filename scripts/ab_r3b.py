@@ -135,6 +135,16 @@ VARIANTS = {
     # staticfull with the over-tail cond-gated behind one max-reduce
     "sfull2": {"lookup_mode": "staticfull2"},
     "sfull2+hits": {"lookup_mode": "staticfull2", "lookup_hits": True},
+    # round-3f: widen the static window so the live band never escapes it.
+    # st_noover measured the over-tail's true cost (1.153e9 best AND flat
+    # windows vs base's 1.12->0.86 degradation: the band drifts past K=8
+    # during the run and every escaped step pays dynamic-trip visits at ~2x
+    # a static visit).  These stay EXACT: the over-tail remains, zero-trip
+    # whenever the window covers the band.
+    "k10": {"lookup_static_chunks": 10},
+    "k12": {"lookup_static_chunks": 12},
+    "k16": {"lookup_static_chunks": 16},
+    "k12u4": {"lookup_static_chunks": 12, "worklog_unroll": 4},
 }
 
 
