@@ -171,6 +171,12 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
       * ``staticthresh`` — statichybrid over the packed threshold table
                        (one i32 gather per visit, integer decide, exact
                        rare-lane fallback as in ``threshold``);
+      * ``staticthresh_m`` — staticthresh with the over-tail MERGED into
+                       the tie fallback: band escapees (hi > K) join the
+                       undecided lanes' exact f32 sweep, so each step pays
+                       one reduction pair + one dynamic loop setup instead
+                       of two.  Exact for any energies (escapees take the
+                       f32 oracle values);
       * ``staticguard`` — staticthresh with every static visit c >= 1
                        additionally gated on the tile's PER-STEP chunk band
                        [hmin, hmax] (two vector->scalar reductions, measured
@@ -335,13 +341,26 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
             )
 
         if mode in ("threshold", "staticguard") or mode.startswith("staticthresh"):
-            # TIMING PROBES (wrong physics on a ~2^-16 / rare-lane subset;
-            # never a production mode): staticthresh with the dynamic tail
-            # loops and their per-step bound reductions surgically removed,
-            # to attribute the lookup's measured cost (probeconst showed
-            # the full lookup is ~55% of the step) between the 9 static
-            # gathers and the tail machinery.
-            noover = mode in ("staticthresh_noover", "staticthresh_floor2")
+            # staticthresh_m (EXACT): merge the over-tail into the tie
+            # fallback — band escapees (hi > K) skip the truncated protocol
+            # and join the undecided lanes' exact f32 sweep.  One reduction
+            # pair + one dynamic loop setup per step instead of two (the
+            # r3f probes attribute ~9% of the step to the tie machinery and
+            # ~5% to the over-tail; their scalar setup dominates, and the
+            # merged sweep shares it).  Escapee outcomes come from the f32
+            # oracle path, so values are exact for any energies.
+            #
+            # _noover/_noties/_floor2 are TIMING PROBES (wrong physics on a
+            # ~2^-16 / rare-lane subset; never production modes):
+            # staticthresh with the dynamic tail loops and their per-step
+            # bound reductions surgically removed, to attribute the
+            # lookup's measured cost (probeconst showed the full lookup is
+            # ~55% of the step) between the 9 static gathers and the tail
+            # machinery.
+            merged = mode == "staticthresh_m"
+            noover = merged or mode in (
+                "staticthresh_noover", "staticthresh_floor2"
+            )
             noties = mode in ("staticthresh_noties", "staticthresh_floor2")
             # ---- coarse pass: ONE i32 gather per chunk (band0 structure) ----
             def th_chunk(c):
@@ -413,6 +432,8 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                 rm = jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
                 return sp, rm
             und = (p8 == ts8) | (p8 == tt8)
+            if merged:
+                und = und | (hi > K)
 
             # ---- exact fallback: f32 sweep over the undecided lanes only ----
             zeros = jnp.zeros(shape, jnp.float32)
@@ -462,8 +483,8 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
         hmax_nz = jnp.max(jnp.where(mask_nz, hi, 1))
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
-    if hits and mode not in ("threshold", "staticthresh", "staticguard",
-                             "staticfull", "staticfull2"):
+    if hits and mode not in ("threshold", "staticthresh", "staticthresh_m",
+                             "staticguard", "staticfull", "staticfull2"):
         raise ValueError(f"hits protocol requires a threshold-family mode, got {mode!r}")
     lookup.prepare_static = prepare_static
     lookup.returns_hits = hits

@@ -383,7 +383,8 @@ def _worklog_kernel(
         lookup = make_chunked_lookup(
             n_chunks, config.lookup_mode, config.lookup_static_chunks,
             hits=config.lookup_hits
-            and config.lookup_mode in ("threshold", "staticthresh", "staticguard"),
+            and config.lookup_mode in ("threshold", "staticthresh",
+                                       "staticthresh_m", "staticguard"),
         )
 
         suspended0 = _is_suspended(status0)

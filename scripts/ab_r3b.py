@@ -145,6 +145,14 @@ VARIANTS = {
     "k12": {"lookup_static_chunks": 12},
     "k16": {"lookup_static_chunks": 16},
     "k12u4": {"lookup_static_chunks": 12, "worklog_unroll": 4},
+    # round-3f: merged tail (EXACT) — band escapees join the exact f32 tie
+    # sweep, so each step pays ONE reduction pair + loop setup instead of
+    # two.  The probes price the tie machinery at ~9% and the over-tail at
+    # ~5%; stm should recover roughly half of both, stacking with k12's
+    # escape-rate reduction.
+    "stm": {"lookup_mode": "staticthresh_m"},
+    "stm+k12": {"lookup_mode": "staticthresh_m", "lookup_static_chunks": 12},
+    "stm+k16": {"lookup_mode": "staticthresh_m", "lookup_static_chunks": 16},
 }
 
 

@@ -42,6 +42,9 @@ def _mk_table(seed=7, n=10000):
     [("threshold", False), ("needband", False), ("band0", False),
      ("minmax", False), ("pipeband", False), ("statichybrid", False),
      ("staticthresh", False), ("staticguard", False),
+     # merged tail: escapees (static_chunks=3 forces many) join the exact
+     # f32 tie sweep — one reduction pair per step
+     ("staticthresh_m", False), ("staticthresh_m", True),
      # full-24-bit threshold compare: exact with no tie fallback at all
      ("staticfull", False), ("staticfull", True),
      ("staticfull2", False), ("staticfull2", True),
@@ -56,7 +59,8 @@ def test_lookup_modes_preserve_outcomes(mode, hits):
         pack_threshold_full(table)
         if mode in ("staticfull", "staticfull2")
         else pack_threshold_table(table)
-        if mode in ("threshold", "staticthresh", "staticguard")
+        if mode in ("threshold", "staticthresh", "staticthresh_m",
+                    "staticguard")
         else chunk_bound(table)
     )
     # static_chunks=3 << the 79-chunk table forces the dynamic tail path

@@ -63,6 +63,14 @@ BASE = SimConfig(
         # the guarded static lookup skips statically unrolled chunk visits
         # by a per-step band cond — must stay bit-exact vs the oracle
         BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
+        # merged tail (r3f flip candidate): escapees join the exact tie
+        # sweep; low static_chunks forces many escapees through it
+        BASE.replace(lookup_mode="staticthresh_m", lookup_static_chunks=3),
+        pytest.param(
+            BASE.replace(lookup_mode="staticthresh_m", lookup_hits=True,
+                         lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         # full-24-bit threshold compare (no tie fallback): the r3e
         # candidate; low static_chunks forces its dynamic over-tail too
         BASE.replace(lookup_mode="staticfull", lookup_static_chunks=3),
@@ -131,6 +139,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
+         "merged", "merged-hits",
          "staticfull", "staticfull-hits", "staticfull2",
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
