@@ -107,6 +107,14 @@ class SimConfig:
     # probeconst — TIMING PROBES, wrong physics, never production)
     lookup_mode: str = "staticthresh"
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
+    # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
+    # (the over-tail and the exact tie fallback).  A per-chunk dynamic
+    # fori_loop trip costs ~2x a static visit because the loop-carried
+    # (S, L) accumulators round-trip VMEM every iteration; waves unroll W
+    # visits per trip (traced row offsets, rows clamped, padding visits
+    # select nothing) so the carry round-trips 1/W as often.  Values are
+    # identical for any W.  0 = per-chunk loop (round-2/3 behavior).
+    lookup_tail_waves: int = 0
     # Threshold-family lookups return decided booleans instead of f32
     # pseudo-chances (make_chunked_lookup(hits=True)): bit-identical
     # outcomes, ~4 fewer vector ops per mobility step in the worklog

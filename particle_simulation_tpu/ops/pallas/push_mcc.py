@@ -113,7 +113,32 @@ def _field_dtype(name):
     return jnp.float32
 
 
-def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
+def _wave_loop(start, stop, visit, acc, waves):
+    """fori_loop over [start, stop) visits, unrolled ``waves`` per trip.
+
+    A dynamic per-chunk trip costs ~2x a static visit because the
+    loop-carried (S, L) accumulators round-trip VMEM every iteration;
+    unrolling W visits per trip amortizes the carry round-trip W-fold at
+    the price of <= W-1 padding visits past ``stop``.  The caller's
+    ``visit(c, acc)`` must be a no-op for c >= stop (the select masks the
+    sweeps use — ``hi == c`` over lanes that cannot exceed the sweep's own
+    max — already guarantee it) and must clamp any table-row read.
+    ``waves=0`` keeps the plain per-chunk loop."""
+    if waves <= 1:
+        return jax.lax.fori_loop(start, stop, visit, acc)
+    n_waves = jnp.maximum(-((start - stop) // waves), 0)
+
+    def wave(w, a):
+        base = start + w * waves
+        for d in range(waves):
+            a = visit(base + d, a)
+        return a
+
+    return jax.lax.fori_loop(0, n_waves, wave, acc)
+
+
+def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
+                        tail_waves=0):
     """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -302,8 +327,9 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
             return sp, rm
 
         def chunk_vals(c):
-            sp_chunk = jnp.broadcast_to(split_ref[c, :][None, :], shape)
-            rm_chunk = jnp.broadcast_to(remove_ref[c, :][None, :], shape)
+            ci = c if isinstance(c, int) else jnp.minimum(c, n_chunks - 1)
+            sp_chunk = jnp.broadcast_to(split_ref[ci, :][None, :], shape)
+            rm_chunk = jnp.broadcast_to(remove_ref[ci, :][None, :], shape)
             return (
                 jnp.take_along_axis(sp_chunk, lo, axis=1),
                 jnp.take_along_axis(rm_chunk, lo, axis=1),
@@ -370,7 +396,11 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                 if prep is not None and isinstance(c, int) and c < len(prep):
                     row = prep[c]
                 else:
-                    row = jnp.broadcast_to(aux_ref[c, :][None, :], shape)
+                    # traced c may be a wave padding visit past the table
+                    ci = c if isinstance(c, int) else jnp.minimum(
+                        c, n_chunks - 1
+                    )
+                    row = jnp.broadcast_to(aux_ref[ci, :][None, :], shape)
                 return jnp.take_along_axis(row, lo, axis=1)
 
             def th_body(c, acc):
@@ -407,8 +437,9 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
                     over = hi > K
                     hmin_o = jnp.min(jnp.where(over, hi, n_chunks - 1))
                     hmax_o = jnp.max(jnp.where(over, hi, 1))
-                    th = jax.lax.fori_loop(
-                        jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th
+                    th = _wave_loop(
+                        jnp.maximum(K + 1, hmin_o), hmax_o + 1, th_body, th,
+                        tail_waves,
                     )
             else:
                 sel0 = hi == 0
@@ -439,8 +470,8 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False):
             zeros = jnp.zeros(shape, jnp.float32)
             hmin_u = jnp.min(jnp.where(und, hi, n_chunks - 1))
             hmax_u = jnp.max(jnp.where(und, hi, 0))
-            sp_e, rm_e = jax.lax.fori_loop(
-                hmin_u, hmax_u + 1, body, (zeros, zeros)
+            sp_e, rm_e = _wave_loop(
+                hmin_u, hmax_u + 1, body, (zeros, zeros), tail_waves
             )
             if hits:
                 # boolean protocol: merge the rare undecided lanes' exact

@@ -385,6 +385,7 @@ def _worklog_kernel(
             hits=config.lookup_hits
             and config.lookup_mode in ("threshold", "staticthresh",
                                        "staticthresh_m", "staticguard"),
+            tail_waves=config.lookup_tail_waves,
         )
 
         suspended0 = _is_suspended(status0)

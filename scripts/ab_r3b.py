@@ -153,6 +153,13 @@ VARIANTS = {
     "stm": {"lookup_mode": "staticthresh_m"},
     "stm+k12": {"lookup_mode": "staticthresh_m", "lookup_static_chunks": 12},
     "stm+k16": {"lookup_mode": "staticthresh_m", "lookup_static_chunks": 16},
+    # round-3f: wave-unrolled dynamic tails — the k-sweep showed the late-
+    # window degradation is a WIDE SPARSE escapee band (window widening
+    # loses ~1.5%/visit and barely helps), so attack the per-trip cost
+    # instead: W visits per fori trip = 1/W the carry round-trips.
+    "w4": {"lookup_tail_waves": 4},
+    "stm+w4": {"lookup_mode": "staticthresh_m", "lookup_tail_waves": 4},
+    "stm+w8": {"lookup_mode": "staticthresh_m", "lookup_tail_waves": 8},
 }
 
 

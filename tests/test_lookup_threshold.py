@@ -53,6 +53,19 @@ def _mk_table(seed=7, n=10000):
      ("threshold", True), ("staticthresh", True), ("staticguard", True)],
 )
 def test_lookup_modes_preserve_outcomes(mode, hits):
+    _check_lookup_outcomes(mode, hits)
+
+
+@pytest.mark.parametrize("mode", ["staticthresh", "staticthresh_m"])
+@pytest.mark.parametrize("waves", [2, 3, 8])
+def test_tail_waves_preserve_outcomes(mode, waves):
+    """Wave-unrolled tail sweeps: the static_chunks=3 escapee band spans
+    dozens of chunks, so every wave width exercises multi-wave trips AND
+    the padding visits past the sweep max (which must select nothing)."""
+    _check_lookup_outcomes(mode, hits=False, tail_waves=waves)
+
+
+def _check_lookup_outcomes(mode, hits, tail_waves=0):
     table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
@@ -64,7 +77,8 @@ def test_lookup_modes_preserve_outcomes(mode, hits):
         else chunk_bound(table)
     )
     # static_chunks=3 << the 79-chunk table forces the dynamic tail path
-    lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3, hits=hits)
+    lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3, hits=hits,
+                                 tail_waves=tail_waves)
 
     # energies spread over the whole table; (8, 128) tile
     rs = np.random.default_rng(3)

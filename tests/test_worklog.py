@@ -71,6 +71,15 @@ BASE = SimConfig(
                          lookup_static_chunks=3),
             marks=pytest.mark.slow,
         ),
+        # wave-unrolled dynamic tails (W=3 over the wide escapee band:
+        # multi-wave trips + padding visits) — pure rescheduling of the
+        # same gathers, must stay bit-exact
+        BASE.replace(lookup_mode="staticthresh_m", lookup_static_chunks=3,
+                     lookup_tail_waves=3),
+        pytest.param(
+            BASE.replace(lookup_static_chunks=3, lookup_tail_waves=3),
+            marks=pytest.mark.slow,
+        ),
         # full-24-bit threshold compare (no tie fallback): the r3e
         # candidate; low static_chunks forces its dynamic over-tail too
         BASE.replace(lookup_mode="staticfull", lookup_static_chunks=3),
@@ -139,7 +148,7 @@ BASE = SimConfig(
         ),
     ],
     ids=["d2", "d1-suspend", "s16-t9", "odd-small-log", "staticguard",
-         "merged", "merged-hits",
+         "merged", "merged-hits", "merged-waves", "waves",
          "staticfull", "staticfull-hits", "staticfull2",
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
