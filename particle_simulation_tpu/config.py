@@ -157,6 +157,11 @@ class SimConfig:
     # sub-cell displacement per step), so deposit/stencil/gather run on an
     # S^3 window with a bit-identical full-grid fallback.  0 disables.
     bbox_subgrid: int = 64
+    # One-hot factorization of the bbox deposit histogram: counts laid out
+    # (S^3/lanes, lanes).  The one-hot build cost is (R + lanes) elements
+    # per particle (square split minimizes it); MACs are invariant.  128 =
+    # round-3 shipped layout; flip after the chip A/B records a win.
+    bbox_hist_lanes: int = 128
     # Multi-chip field-phase strategy (parallel/sharded.py): "replicated"
     # psums the per-shard deposit grid; "slab" shards the bbox subgrid into
     # x-slabs (psum_scatter + ppermute halo exchange + all_gather rows) —

@@ -206,16 +206,24 @@ def live_bbox(idx, weight, grid_size):
     return lo, hi
 
 
-def _mxu_histogram(flat, num_cells, tile_p=1024):
+def _mxu_histogram(flat, num_cells, tile_p=1024, lanes=128):
     """Histogram of ``flat`` ids (invalid entries = -1) over [0, num_cells),
-    num_cells a multiple of 128, via per-tile one-hot matmuls.
+    num_cells a multiple of ``lanes`` (a power of two), via per-tile one-hot
+    matmuls with a (num_cells/lanes, lanes) factorization.
 
-    EXACT for any population: each tile's (R, 128) f32 matmul result counts
-    at most tile_p <= 2^24 hits per cell exactly; tiles accumulate in f32
-    within groups of <= 2^14 tiles (group totals < 2^24, still exact) and
-    groups fold into an i32 accumulator.
+    EXACT for any population: each tile's (R, lanes) f32 matmul result
+    counts at most tile_p <= 2^24 hits per cell exactly; tiles accumulate
+    in f32 within groups of <= 2^14 tiles (group totals < 2^24, still
+    exact) and groups fold into an i32 accumulator.
+
+    ``lanes`` trades one-hot BUILD cost against matmul shape: the build
+    touches (R + lanes) elements per particle — minimized at the square
+    split R = lanes = sqrt(num_cells) — while the MAC count (n * num_cells)
+    is factorization-invariant.  At 64^3 the square 512x512 split builds
+    1024 elems/particle vs 2176 for 2048x128 and gives the MXU N=512.
     """
-    R = num_cells // 128
+    R = num_cells // lanes
+    shift = lanes.bit_length() - 1
     n = flat.shape[0]
     tiles = -(-n // tile_p)
     group = min(tiles, 1 << 14)
@@ -224,13 +232,13 @@ def _mxu_histogram(flat, num_cells, tile_p=1024):
     fp = jnp.concatenate([flat, jnp.full((pad,), -1, jnp.int32)])
     tiled = fp.reshape(groups, group, tile_p)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
 
     def tile_body(acc_f32, ids):
-        row = (ids >> 7)[:, None]
-        lane = (ids & 127)[:, None]
+        row = (ids >> shift)[:, None]
+        lane = (ids & (lanes - 1))[:, None]
         oh_r = (row == iota_r).astype(jnp.bfloat16)   # (P, R)
-        oh_l = (lane == iota_l).astype(jnp.bfloat16)  # (P, 128)
+        oh_l = (lane == iota_l).astype(jnp.bfloat16)  # (P, lanes)
         return (
             acc_f32
             + jax.lax.dot_general(
@@ -242,12 +250,12 @@ def _mxu_histogram(flat, num_cells, tile_p=1024):
 
     def group_body(acc_i32, group_tiles):
         acc_f32, _ = jax.lax.scan(
-            tile_body, jnp.zeros((R, 128), jnp.float32), group_tiles
+            tile_body, jnp.zeros((R, lanes), jnp.float32), group_tiles
         )
         return acc_i32 + acc_f32.astype(jnp.int32), None
 
     counts, _ = jax.lax.scan(
-        group_body, jnp.zeros((R, 128), jnp.int32), tiled
+        group_body, jnp.zeros((R, lanes), jnp.int32), tiled
     )
     return counts.reshape(-1)
 
@@ -294,7 +302,7 @@ def _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight):
 
 
 def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
-                            subgrid=64, tile_p=1024):
+                            subgrid=64, tile_p=1024, hist_lanes=128):
     """Full field phase (deposit + stencil + gather) on a bbox subgrid when
     the live population fits an S^3 window; falls back to the full-grid
     scatter + packdiff path (bit-identical values) otherwise.
@@ -318,7 +326,9 @@ def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
         rel = idx - origin[None, :]
         flat_sub = (rel[:, 0] * S + rel[:, 1]) * S + rel[:, 2]
         flat_sub = jnp.where(weight > 0, flat_sub, -1)
-        counts = _mxu_histogram(flat_sub, S * S * S, tile_p=tile_p)
+        counts = _mxu_histogram(
+            flat_sub, S * S * S, tile_p=tile_p, lanes=hist_lanes
+        )
         return _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight)
 
     def full_path(_):

@@ -86,6 +86,7 @@ def grid_phase(state: SimState, config: SimConfig) -> SimState:
         acc = grid_ops.bbox_field_acceleration(
             state.pos, weight, config.cell_size, config.grid_size,
             config.electric_force_constant, subgrid=config.bbox_subgrid,
+            hist_lanes=config.bbox_hist_lanes,
         )
         return state._replace(acc=acc)
     charge = grid_ops.deposit(state.pos, weight, config.cell_size, config.grid_size)

@@ -160,6 +160,10 @@ VARIANTS = {
     "w4": {"lookup_tail_waves": 4},
     "stm+w4": {"lookup_mode": "staticthresh_m", "lookup_tail_waves": 4},
     "stm+w8": {"lookup_mode": "staticthresh_m", "lookup_tail_waves": 8},
+    # round-3g: square one-hot factorization of the bbox deposit histogram
+    # (microbench_mxu_hist.py: build cost 1024 vs 2176 elems/particle)
+    "h512": {"bbox_hist_lanes": 512},
+    "h256": {"bbox_hist_lanes": 256},
 }
 
 

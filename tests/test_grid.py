@@ -135,6 +135,12 @@ def test_mxu_histogram_matches_scatter_deposit():
     counts = g._mxu_histogram(jnp.asarray(flat), 16 * 16 * 16, tile_p=256)
     ref = np.bincount(flat[flat >= 0], minlength=16 * 16 * 16)
     np.testing.assert_array_equal(np.asarray(counts), ref)
+    # every lanes factorization is the same exact histogram
+    for lanes in (64, 256, 512, 1024):
+        alt = g._mxu_histogram(
+            jnp.asarray(flat), 16 * 16 * 16, tile_p=256, lanes=lanes
+        )
+        np.testing.assert_array_equal(np.asarray(alt), ref)
 
 
 def test_bbox_field_bit_exact_clustered():
