@@ -159,9 +159,12 @@ class SimConfig:
     bbox_subgrid: int = 64
     # One-hot factorization of the bbox deposit histogram: counts laid out
     # (S^3/lanes, lanes).  The one-hot build cost is (R + lanes) elements
-    # per particle (square split minimizes it); MACs are invariant.  128 =
-    # round-3 shipped layout; flip after the chip A/B records a win.
-    bbox_hist_lanes: int = 128
+    # per particle (near-square splits minimize it); MACs are invariant.
+    # Chip-measured at the bench point (scripts/microbench_mxu_hist.py +
+    # ab_r3b h256): 256 deposits 16% faster than the round-3 128 layout
+    # (9.45 vs 11.24 ms standalone) and lifts the engine A/B to 1.126e9
+    # pushes/s (base 1.114).  int8 one-hots and tile_p changes: no win.
+    bbox_hist_lanes: int = 256
     # Multi-chip field-phase strategy (parallel/sharded.py): "replicated"
     # psums the per-shard deposit grid; "slab" shards the bbox subgrid into
     # x-slabs (psum_scatter + ppermute halo exchange + all_gather rows) —
