@@ -164,6 +164,9 @@ VARIANTS = {
     # (microbench_mxu_hist.py: build cost 1024 vs 2176 elems/particle)
     "h512": {"bbox_hist_lanes": 512},
     "h256": {"bbox_hist_lanes": 256},
+    # round-3h: unroll-4 re-test on top of the flipped defaults (r3f saw
+    # block2u4 at 1.142e9 once, r3c at 1.121 — decide with fresh anchors)
+    "u4": {"worklog_unroll": 4},
 }
 
 
