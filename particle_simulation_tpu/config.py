@@ -71,7 +71,10 @@ class SimConfig:
     # and enables the pair-fused cipher under rng_mode="block2"; 4 halves
     # the carry traffic again at the cost of extra live registers;
     # bit-identical physics for every value at fixed rng_mode.
-    worklog_unroll: int = 2
+    # Default flipped to 4 after the ab_r3h chip A/B (2026-08-19):
+    # 1.157e9 vs 1.136e9 pushes/s at the bench point, better late windows
+    # too; confirmed twice (ab_r3f saw 1.142 vs 1.116).
+    worklog_unroll: int = 4
     # Fast-append window for the staged engine: per-sweep spawns up to this
     # count take the windowed gather+dynamic_update_slice path.
     # 0 = auto (max(1M, capacity/4)).

@@ -190,10 +190,15 @@ def test_worklog_output_is_compacted(const_table):
 @pytest.mark.slow
 def test_worklog_overflow_flag(const_table):
     """Growth beyond capacity must flag overflow (children still counted:
-    reference drop-but-count semantics, src/pic.cu:127-131,543-545)."""
+    reference drop-but-count semantics, src/pic.cu:127-131,543-545).
+
+    The draw protocol is PINNED: whether this tiny config avalanches past
+    capacity depends on the actual draws (under the block2 default it
+    happens to die back to 192 and never overflows) — the flag mechanism
+    under test is protocol-independent, the workload is not."""
     cfg = BASE.replace(
         scheduler="dynamic", init_n=220, capacity=256, poisson_steps=1,
-        poisson_timestep=6,
+        poisson_timestep=6, rng_mode="perstep",
     )
     state, metrics = run_steps(cfg, const_table)
     assert metrics[-1]["overflow"]
