@@ -74,15 +74,21 @@ BASE = SimConfig(
         # wave-unrolled dynamic tails (W=3 over the wide escapee band:
         # multi-wave trips + padding visits) — pure rescheduling of the
         # same gathers, must stay bit-exact
-        BASE.replace(lookup_mode="staticthresh_m", lookup_static_chunks=3,
-                     lookup_tail_waves=3),
+        pytest.param(
+            BASE.replace(lookup_mode="staticthresh_m", lookup_static_chunks=3,
+                         lookup_tail_waves=3),
+            marks=pytest.mark.slow,
+        ),
         pytest.param(
             BASE.replace(lookup_static_chunks=3, lookup_tail_waves=3),
             marks=pytest.mark.slow,
         ),
         # full-24-bit threshold compare (no tie fallback): the r3e
         # candidate; low static_chunks forces its dynamic over-tail too
-        BASE.replace(lookup_mode="staticfull", lookup_static_chunks=3),
+        pytest.param(
+            BASE.replace(lookup_mode="staticfull", lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         pytest.param(
             BASE.replace(lookup_mode="staticfull", lookup_hits=True,
                          lookup_static_chunks=3),
@@ -94,7 +100,10 @@ BASE = SimConfig(
         ),
         # boolean lookup protocol (decided hits instead of f32
         # pseudo-chances) — bit-exact by the threshold exactness argument
-        BASE.replace(lookup_hits=True, lookup_static_chunks=3),
+        pytest.param(
+            BASE.replace(lookup_hits=True, lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         # hits x guard: the A/B combo candidate (band-gated static visits
         # returning booleans) — must stay bit-exact before it can win
         pytest.param(
@@ -109,7 +118,10 @@ BASE = SimConfig(
         ),
         # start-bucketed work-log emission (4 segment logs routed by first
         # execution step) — pure rescheduling, must stay bit-exact
-        BASE.replace(worklog_start_buckets=4, poisson_timestep=9),
+        pytest.param(
+            BASE.replace(worklog_start_buckets=4, poisson_timestep=9),
+            marks=pytest.mark.slow,
+        ),
         # buckets x suspension churn: resume records route by resume step
         pytest.param(
             BASE.replace(spawn_depth=1, worklog_start_buckets=4),
@@ -118,7 +130,10 @@ BASE = SimConfig(
         # horizon sweeps: each pass advances at most K steps, live lanes
         # re-emit via the suspension packing, modular window routing —
         # pure rescheduling, must stay bit-exact (probe_horizon.py design)
-        BASE.replace(worklog_horizon=3, worklog_start_buckets=4),
+        pytest.param(
+            BASE.replace(worklog_horizon=3, worklog_start_buckets=4),
+            marks=pytest.mark.slow,
+        ),
         # window-aligned horizon (resumes cluster at window boundaries)
         pytest.param(
             BASE.replace(worklog_horizon=3, worklog_align=True,
