@@ -105,11 +105,17 @@ class SimConfig:
     # window) so resumes cluster exactly at window boundaries: fewer idle
     # slots (probe: 0.542 -> 0.619 at K=32/4 segments), a few more passes.
     worklog_align: bool = False
-    # staticthresh|staticfull|staticguard|statichybrid|band0|pipeband|
-    # threshold|needband|minmax (+ staticthresh_noties/_noover/_floor2 and
-    # probeconst — TIMING PROBES, wrong physics, never production)
+    # staticthresh|polythresh|staticfull|staticguard|statichybrid|band0|
+    # pipeband|threshold|needband|minmax (+ staticthresh_noties/_noover/
+    # _floor2 and probeconst — TIMING PROBES, wrong physics, never
+    # production).  polythresh replaces the chunk-swept threshold gathers
+    # with a per-chunk polynomial fit of the exact 24-bit thresholds
+    # (degree+1 single-row lane-LUTs + Horner; measured margins route rare
+    # boundary lanes to the exact f32 fallback — bit-exact for any table,
+    # see push_mcc.pack_poly_thresholds).
     lookup_mode: str = "staticthresh"
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
+    lookup_poly_degree: int = 4     # polythresh fit degree (4 and 5 measured)
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

@@ -138,7 +138,7 @@ def _wave_loop(start, stop, visit, acc, waves):
 
 
 def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
-                        tail_waves=0):
+                        tail_waves=0, poly_degree=4):
     """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -233,6 +233,18 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
         lookup each visit re-materializes it — S/8 vreg writes per visit per
         step (~1/3 of the visit's op count at S=128).  Callers build this
         ONCE before the T-loop and pass it via ``lookup(..., prep=...)``."""
+        if mode == "polythresh":
+            # rows 0..degree: f32 coefficients; degree+1/2: f32 margins;
+            # degree+3: chunk 0's exact 16-bit packed row (stays i32).
+            # Storage is i32 bit-patterns (gathers must never canonicalize
+            # a NaN payload); the f32 rows bitcast back here, once.
+            rows = []
+            for r in range(poly_degree + 4):
+                p = jnp.broadcast_to(aux_ref[r, :][None, :], shape)
+                if r != poly_degree + 3:
+                    p = jax.lax.bitcast_convert_type(p, jnp.float32)
+                rows.append(p)
+            return tuple(rows)
         K = min(static_chunks, n_chunks - 1)
         if mode in ("staticfull", "staticfull2"):
             # both threshold blocks of the stacked full table: prep holds
@@ -340,6 +352,93 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             sel = hi == c
             spc, rmc = chunk_vals(c)
             return jnp.where(sel, spc, s), jnp.where(sel, rmc, r)
+
+        def resolve(s_hit, t_hit, und):
+            # ---- exact fallback: f32 sweep over the undecided lanes only,
+            # then merge with the integer-decided lanes (shared by every
+            # threshold-family mode) ----
+            zeros = jnp.zeros(shape, jnp.float32)
+            hmin_u = jnp.min(jnp.where(und, hi, n_chunks - 1))
+            hmax_u = jnp.max(jnp.where(und, hi, 0))
+            sp_e, rm_e = _wave_loop(
+                hmin_u, hmax_u + 1, body, (zeros, zeros), tail_waves
+            )
+            if hits:
+                # boolean protocol: merge the rare undecided lanes' exact
+                # f32 outcomes straight into the integer decisions.  Logical
+                # ops, NOT jnp.where: a vector select on i1 operands lowers
+                # through an i8 select + trunci-to-i1 that Mosaic rejects
+                # ("Unsupported target bitwidth for truncation").
+                uf = u.astype(jnp.float32)
+                nund = jnp.logical_not(und)
+                s_fin = (und & (uf < sp_e)) | (nund & s_hit)
+                t_fin = (und & (uf < sp_e + rm_e)) | (nund & t_hit)
+                return s_fin, t_fin
+            # certain lanes: effective chances force the exact outcome
+            # (u is in [0, 100), so 101 always compares true, 0 false;
+            # s_hit implies t_hit because split <= split + remove)
+            big = jnp.float32(101.0)
+            sp = jnp.where(und, sp_e, jnp.where(s_hit, big, 0.0))
+            rm = jnp.where(
+                und, rm_e, jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
+            )
+            return sp, rm
+
+        if mode == "polythresh":
+            # Per-chunk polynomial fit of the exact 24-bit split threshold
+            # (pack_poly_thresholds): degree+1 single-row lane-LUTs on the
+            # CHUNK index + a Horner evaluation decide both comparisons for
+            # every lane of every fitted chunk — no per-visit selects, no
+            # over-tail machinery.  Chunk 0 (the E=0 attractor; unfittable
+            # i^0.1 kink) keeps the exact 16-bit staticthresh protocol via
+            # one more row-gather.  Unfitted chunks' coefficients are NaN:
+            # Horner propagates it, both margin compares come out False,
+            # and those lanes join the tie lanes in the exact f32 fallback.
+            d = poly_degree
+
+            def row(r, as_f32):
+                if prep is not None:
+                    return prep[r]
+                p = jnp.broadcast_to(aux_ref[r, :][None, :], shape)
+                return (
+                    jax.lax.bitcast_convert_type(p, jnp.float32)
+                    if as_f32
+                    else p
+                )
+
+            xs = (lo.astype(jnp.float32) - 63.5) * jnp.float32(1.0 / 63.5)
+            val = jnp.take_along_axis(row(0, True), hi, axis=1)
+            for k in range(1, d + 1):
+                val = val * xs + jnp.take_along_axis(row(k, True), hi, axis=1)
+            dls = row(d + 1, True)   # margins replicated: no gather needed
+            dlt = row(d + 2, True)
+            p24f = jax.lax.bitcast_convert_type(
+                jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
+            ).astype(jnp.float32)
+            v2 = val + val
+            s_hit_p = p24f < val - dls
+            s_dec_p = s_hit_p | (p24f >= val + dls)
+            t_hit_p = p24f < v2 - dlt
+            t_dec_p = t_hit_p | (p24f >= v2 + dlt)
+
+            th0 = jnp.take_along_axis(row(d + 3, False), lo, axis=1)
+            ts8 = (th0 >> 16) & 0xFFFF
+            tt8 = th0 & 0xFFFF
+            p8 = jax.lax.bitcast_convert_type(
+                jnp.asarray(bits, jnp.uint32) >> jnp.uint32(16), jnp.int32
+            )
+            s_hit0 = p8 < ts8
+            t_hit0 = p8 < tt8
+            und0 = (p8 == ts8) | (p8 == tt8)
+
+            sel0 = hi == 0
+            nsel0 = jnp.logical_not(sel0)
+            s_hit = (sel0 & s_hit0) | (nsel0 & s_hit_p)
+            t_hit = (sel0 & t_hit0) | (nsel0 & t_hit_p)
+            und = (sel0 & und0) | (
+                nsel0 & jnp.logical_not(s_dec_p & t_dec_p)
+            )
+            return resolve(s_hit, t_hit, und)
 
         if mode == "minmax":
             zeros = jnp.zeros(shape, jnp.float32)
@@ -465,34 +564,7 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             und = (p8 == ts8) | (p8 == tt8)
             if merged:
                 und = und | (hi > K)
-
-            # ---- exact fallback: f32 sweep over the undecided lanes only ----
-            zeros = jnp.zeros(shape, jnp.float32)
-            hmin_u = jnp.min(jnp.where(und, hi, n_chunks - 1))
-            hmax_u = jnp.max(jnp.where(und, hi, 0))
-            sp_e, rm_e = _wave_loop(
-                hmin_u, hmax_u + 1, body, (zeros, zeros), tail_waves
-            )
-            if hits:
-                # boolean protocol: merge the rare undecided lanes' exact
-                # f32 outcomes straight into the integer decisions.  Logical
-                # ops, NOT jnp.where: a vector select on i1 operands lowers
-                # through an i8 select + trunci-to-i1 that Mosaic rejects
-                # ("Unsupported target bitwidth for truncation").
-                uf = u.astype(jnp.float32)
-                nund = jnp.logical_not(und)
-                s_fin = (und & (uf < sp_e)) | (nund & s_hit)
-                t_fin = (und & (uf < sp_e + rm_e)) | (nund & t_hit)
-                return s_fin, t_fin
-            # certain lanes: effective chances force the exact outcome
-            # (u is in [0, 100), so 101 always compares true, 0 false;
-            # s_hit implies t_hit because split <= split + remove)
-            big = jnp.float32(101.0)
-            sp = jnp.where(und, sp_e, jnp.where(s_hit, big, 0.0))
-            rm = jnp.where(
-                und, rm_e, jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
-            )
-            return sp, rm
+            return resolve(s_hit, t_hit, und)
 
         # chunk 0 (the lowest-energy band) is a persistent attractor —
         # particles in zero-field cells sit at E=0 forever — handle it
@@ -515,7 +587,8 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
         return jax.lax.fori_loop(hmin_nz, hmax_nz + 1, body, (sp, rm))
 
     if hits and mode not in ("threshold", "staticthresh", "staticthresh_m",
-                             "staticguard", "staticfull", "staticfull2"):
+                             "staticguard", "staticfull", "staticfull2",
+                             "polythresh"):
         raise ValueError(f"hits protocol requires a threshold-family mode, got {mode!r}")
     lookup.prepare_static = prepare_static
     lookup.returns_hits = hits
@@ -597,6 +670,112 @@ def pack_threshold_full(table):
     )
 
 
+# polythresh fit-quality gates (see pack_poly_thresholds): a chunk joins the
+# fitted prefix only while its measured max |exact - f32-Horner| stays under
+# the cap; the pad dominates any cross-lowering re-evaluation drift (XLA vs
+# Mosaic, fma-vs-not: a few ulps of ~1e6-magnitude values, < 1.0 total).
+_POLY_ERR_CAP = 512.0
+_POLY_PAD = 64.0
+
+
+def pack_poly_thresholds(table, degree=4):
+    """(n, 2) chance table -> (8-padded degree+4, 128) i32 pack for the
+    ``polythresh`` lookup: a per-chunk least-squares polynomial fit of the
+    EXACT 24-bit split threshold T(split) (see _exact_threshold) replaces
+    the chunk-swept table gathers with ``degree + 1`` single-row lane-LUTs
+    plus a Horner evaluation.
+
+    Row layout (all rows stored as i32; coefficient/margin rows are f32
+    bit-patterns — integer storage so gathers can never canonicalize a NaN
+    payload):
+
+      * rows [0, degree]: per-chunk f32 coefficients, highest power first
+        (Horner order), of the fit over the chunk's 128 buckets in the
+        scaled variable t = (offset - 63.5) / 63.5; lane c = chunk c.
+        Chunks outside the fitted prefix (and chunk 0) carry NaN in every
+        coefficient: Horner then yields NaN, both margin compares come out
+        False, and all their lanes take the exact fallback — so no
+        explicit window bound is ever tested;
+      * row degree+1: DELTA_S (replicated), the measured fit margin
+        max |T_s - Horner_f32| over every bucket of every fitted chunk,
+        plus _POLY_PAD;
+      * row degree+2: DELTA_T (replicated) for the total compare, measured
+        against the kernel's own 2*Horner expression — for the bundled
+        sine table T(split+remove) = 2*T(split) + {-1, 0} exactly, so the
+        doubling costs ~1 count; a generic table with unrelated columns
+        just measures a huge DELTA_T and degrades to the fallback (exact,
+        merely slower);
+      * row degree+3: chunk 0's EXACT 16-bit packed thresholds (the
+        pack_threshold_table encoding) — the i^0.1 kink at bucket 0 makes
+        chunk 0 unfittable (measured: max err 1.7e5 vs <= 300 for chunks
+        1..21 at degree 4), and chunk 0 is the E=0 attractor where most
+        lanes sit, so it keeps the staticthresh coarse protocol.
+
+    Everything is traced jnp (the table is a jit argument); XLA hoists the
+    pack out of the Poisson scan as loop-invariant.  The margins are
+    MEASURED, not modeled, so decided lanes are provably exact for ANY
+    table; fit quality only moves the undecided (fallback) rate.  The fit
+    solve uses a STATIC f64 pseudoinverse of the shared Vandermonde basis
+    (numpy, trace-time constant) — the only f32 step is one (chunks, 128)
+    x (128, degree+1) matmul.
+    """
+    import numpy as np
+
+    split = table[:, 0].astype(jnp.float32)
+    tot = split + table[:, 1].astype(jnp.float32)
+    ts = _exact_threshold(split)
+    tt = _exact_threshold(tot)
+    n = ts.shape[0]
+    n_chunks = pl.cdiv(n, LANES)
+    pad = n_chunks * LANES - n
+    # edge-pad so a partial last chunk's fit isn't poisoned by synthetic
+    # zeros (it is judged on real + replicated-edge values; exactness never
+    # depends on the fit, only on the measured margin)
+    ts_p = jnp.pad(ts, (0, pad), mode="edge").reshape(n_chunks, LANES)
+    tt_p = jnp.pad(tt, (0, pad), mode="edge").reshape(n_chunks, LANES)
+    y = ts_p.astype(jnp.float32)
+
+    xs_np = (np.arange(LANES, dtype=np.float64) - 63.5) / 63.5
+    basis = np.stack([xs_np**k for k in range(degree + 1)], axis=1)
+    pinv = np.linalg.pinv(basis)  # (degree+1, LANES), static f64 constant
+    coef = y @ jnp.asarray(pinv.T, jnp.float32)      # (C, degree+1) low->high
+    cf = coef[:, ::-1]                               # high->low (Horner)
+
+    # measure the fit with the SAME f32 Horner expression the kernel runs
+    xs = jnp.asarray(xs_np, jnp.float32)
+    val = jnp.broadcast_to(cf[:, 0:1], (n_chunks, LANES))
+    for k in range(1, degree + 1):
+        val = val * xs[None, :] + cf[:, k : k + 1]
+    err_s = jnp.max(jnp.abs(val - ts_p.astype(jnp.float32)), axis=1)
+    err_t = jnp.max(jnp.abs(val + val - tt_p.astype(jnp.float32)), axis=1)
+
+    ok = (err_s <= _POLY_ERR_CAP) & (err_t <= 2.0 * _POLY_ERR_CAP + 2.0)
+    ok = ok.at[0].set(False)  # chunk 0 is exact-row territory
+    # fitted chunks form the longest ok-prefix of 1..C-1 (the sine table's
+    # phase velocity grows with energy, so errors are monotone-ish; a
+    # prefix keeps the escapee band contiguous for the fallback sweep)
+    fitted = (jnp.cumsum(jnp.logical_not(ok).astype(jnp.int32)) <= 1) & ok
+    delta_s = jnp.max(jnp.where(fitted, err_s, 0.0)) + _POLY_PAD
+    delta_t = jnp.max(jnp.where(fitted, err_t, 0.0)) + 2.0 * _POLY_PAD
+
+    nanv = jnp.float32(jnp.nan)
+    cf = jnp.where(fitted[:, None], cf, nanv)
+    rows_f32 = [
+        jnp.pad(cf[:, k], (0, LANES - n_chunks), constant_values=jnp.nan)
+        for k in range(degree + 1)
+    ]
+    rows_f32.append(jnp.full((LANES,), delta_s, jnp.float32))
+    rows_f32.append(jnp.full((LANES,), delta_t, jnp.float32))
+    rows = [
+        jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
+        for r in rows_f32
+    ]
+    rows.append(pack_threshold_table(table)[0, :])   # chunk 0 exact 16-bit
+    out = jnp.stack(rows, axis=0)
+    n_rows = pl.cdiv(out.shape[0], 8) * 8
+    return jnp.pad(out, ((0, n_rows - out.shape[0]), (0, 0)))
+
+
 def chunk_bound(table):
     """Per-chunk max of (split + remove) as ONE 128-lane row (chunk c at
     lane c), f32-summed exactly as update_particles compares, so
@@ -658,7 +837,7 @@ def _mobility_kernel(
             "band0"
             if config.lookup_mode
             in ("needband", "threshold", "pipeband", "staticguard",
-                "staticfull", "staticfull2")
+                "staticfull", "staticfull2", "polythresh")
             or config.lookup_mode.startswith("staticthresh")
             else config.lookup_mode
         )

@@ -73,6 +73,7 @@ from .push_mcc import (
     _tile_dims,
     chunk_bound,
     make_chunked_lookup,
+    pack_poly_thresholds,
     pack_threshold_full,
     pack_threshold_table,
 )
@@ -384,8 +385,10 @@ def _worklog_kernel(
             n_chunks, config.lookup_mode, config.lookup_static_chunks,
             hits=config.lookup_hits
             and config.lookup_mode in ("threshold", "staticthresh",
-                                       "staticthresh_m", "staticguard"),
+                                       "staticthresh_m", "staticguard",
+                                       "polythresh"),
             tail_waves=config.lookup_tail_waves,
+            poly_degree=config.lookup_poly_degree,
         )
 
         suspended0 = _is_suspended(status0)
@@ -445,7 +448,7 @@ def _worklog_kernel(
         prep = (
             lookup.prepare_static(aux_ref, (S, LANES))
             if config.lookup_mode in ("staticguard", "staticfull",
-                                       "staticfull2")
+                                       "staticfull2", "polythresh")
             or config.lookup_mode.startswith("staticthresh")
             else None
         )
@@ -814,6 +817,10 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     split2d, remove2d, n_chunks = _pad_tables(table)
     if config.lookup_mode in ("staticfull", "staticfull2"):
         aux = pack_threshold_full(table)           # (2 x 8-padded chunks, L) i32
+    elif config.lookup_mode == "polythresh":
+        aux = pack_poly_thresholds(
+            table, config.lookup_poly_degree
+        )                                          # (8-padded degree+4, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")
     ):

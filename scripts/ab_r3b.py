@@ -167,6 +167,14 @@ VARIANTS = {
     # round-3h: unroll-4 re-test on top of the flipped defaults (r3f saw
     # block2u4 at 1.142e9 once, r3c at 1.121 — decide with fresh anchors)
     "u4": {"worklog_unroll": 4},
+    # round-3i: polynomial-fit thresholds (EXACT; pack_poly_thresholds) —
+    # degree+2 single-row lane-LUT gathers + Horner replace the 9 static
+    # chunk gathers + selects AND the over-tail machinery (escapees are
+    # NaN-undecided into the tie sweep); the fitted window spans ~21 chunks
+    # vs staticthresh's 8, so late-window band drift stays decided.
+    "poly": {"lookup_mode": "polythresh"},
+    "poly5": {"lookup_mode": "polythresh", "lookup_poly_degree": 5},
+    "poly+hits": {"lookup_mode": "polythresh", "lookup_hits": True},
 }
 
 

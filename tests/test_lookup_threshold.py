@@ -16,12 +16,15 @@ import numpy as np
 import pytest
 
 from particle_simulation_tpu import rng
-from particle_simulation_tpu.cross_section import N_STEPS, energy_to_index
+from particle_simulation_tpu.cross_section import N_STEPS, energy_to_index, load_table
 from particle_simulation_tpu.ops.pallas.push_mcc import (
     LANES,
+    _POLY_PAD,
+    _exact_threshold,
     _pad_tables,
     chunk_bound,
     make_chunked_lookup,
+    pack_poly_thresholds,
     pack_threshold_full,
     pack_threshold_table,
 )
@@ -50,7 +53,11 @@ def _mk_table(seed=7, n=10000):
      ("staticfull2", False), ("staticfull2", True),
      # boolean return protocol (lookup_hits=True): same outcomes, decided
      # booleans instead of f32 pseudo-chances
-     ("threshold", True), ("staticthresh", True), ("staticguard", True)],
+     ("threshold", True), ("staticthresh", True), ("staticguard", True),
+     # polynomial-fit thresholds: the random table fits NO chunk, so every
+     # non-chunk-0 lane takes the NaN-poisoned undecided path (the exact
+     # f32 fallback); chunk-0 lanes take the coarse 16-bit protocol
+     ("polythresh", False), ("polythresh", True)],
 )
 def test_lookup_modes_preserve_outcomes(mode, hits):
     _check_lookup_outcomes(mode, hits)
@@ -71,6 +78,8 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0):
     aux = (
         pack_threshold_full(table)
         if mode in ("staticfull", "staticfull2")
+        else pack_poly_thresholds(table)
+        if mode == "polythresh"
         else pack_threshold_table(table)
         if mode in ("threshold", "staticthresh", "staticthresh_m",
                     "staticguard")
@@ -135,6 +144,105 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0):
     # contract: comparison OUTCOMES are preserved, not the raw values
     np.testing.assert_array_equal(u < sp, u < split_true)
     np.testing.assert_array_equal(u < sp + rm, u < tot_true)
+
+
+def _poly_fit_mirror(aux_np, degree, idx):
+    """Numpy mirror of the kernel's polythresh evaluation for bucket idx:
+    returns (T_hat f32 Horner value, delta_s, delta_t, chunk0 packed)."""
+    hi = idx // LANES
+    lo = idx % LANES
+    rows_f = aux_np[: degree + 3].view(np.float32)
+    xs = ((lo.astype(np.float32) - np.float32(63.5))
+          * np.float32(1.0 / 63.5))
+    val = rows_f[0][hi]
+    for k in range(1, degree + 1):
+        val = (val * xs + rows_f[k][hi]).astype(np.float32)
+    return val, rows_f[degree + 1][0], rows_f[degree + 2][0], aux_np[degree + 3]
+
+
+def test_poly_margins_are_sound():
+    """The polythresh exactness proof: for every bucket of every FITTED
+    chunk, the f32 Horner evaluation sits within delta_s of the exact
+    24-bit split threshold (and 2*Horner within delta_t of the total one),
+    with the +-_POLY_PAD headroom to spare for cross-lowering drift.
+    Unfitted chunks must be NaN-poisoned (never decided).  Checked
+    exhaustively over all 10000 buckets of the bundled sine table."""
+    degree = 4
+    table = jnp.asarray(load_table())
+    aux_np = np.asarray(pack_poly_thresholds(table, degree))
+    ts = np.asarray(_exact_threshold(table[:, 0].astype(jnp.float32)))
+    tt = np.asarray(
+        _exact_threshold(
+            table[:, 0].astype(jnp.float32) + table[:, 1].astype(jnp.float32)
+        )
+    )
+    idx = np.arange(10000)
+    val, dls, dlt, packed0 = _poly_fit_mirror(aux_np, degree, idx)
+    fitted = ~np.isnan(val)
+    # chunk 0 must be exact-row territory, and a healthy prefix must fit
+    assert not fitted[:LANES].any()
+    n_fit_chunks = fitted[LANES:].sum() // LANES
+    assert n_fit_chunks >= 10, f"only {n_fit_chunks} fitted chunks"
+    assert fitted.sum() == n_fit_chunks * LANES, "fitted region not a prefix"
+    # the sound-margin property, with the pad as headroom
+    err_s = np.abs(val[fitted] - ts[fitted])
+    err_t = np.abs(2.0 * val[fitted] - tt[fitted])
+    assert err_s.max() <= dls - _POLY_PAD / 2
+    assert err_t.max() <= dlt - _POLY_PAD
+    # chunk 0's packed row is the exact pack_threshold_table row
+    np.testing.assert_array_equal(
+        packed0, np.asarray(pack_threshold_table(table))[0]
+    )
+
+
+@pytest.mark.parametrize("hits", [False, True])
+@pytest.mark.parametrize("degree", [4, 5])
+def test_polythresh_decided_and_margin_lanes(hits, degree):
+    """polythresh on the bundled sine table: lanes engineered to sit just
+    INSIDE and just OUTSIDE the fit margin around both thresholds, plus
+    chunk-0 and escapee lanes — every decided path and the fallback must
+    reproduce the exact f32 comparison outcomes."""
+    table = jnp.asarray(load_table())
+    split2d, remove2d, n_chunks = _pad_tables(table)
+    aux = pack_poly_thresholds(table, degree)
+    lookup = make_chunked_lookup(n_chunks, "polythresh", hits=hits,
+                                 poly_degree=degree)
+
+    rs = np.random.default_rng(11)
+    shape = (8, LANES)
+    aux_np = np.asarray(aux)
+    # bucket mix: chunk 0, fitted chunks, far escapees
+    idx = rs.integers(0, 10000, shape)
+    idx[0] = rs.integers(0, LANES, LANES)                    # chunk 0
+    idx[1:5] = rs.integers(LANES, 15 * LANES, (4, LANES))    # fitted-ish
+    energy = np.power(10.0, 22.0 * (idx + 0.5) / N_STEPS - 6.0).astype(
+        np.float32
+    )
+    val, dls, dlt, _ = _poly_fit_mirror(aux_np, degree, idx.reshape(-1))
+    val = val.reshape(shape)
+    # payloads around the fitted threshold: inside the margin (undecided),
+    # just outside (decided hit/miss), random elsewhere
+    t_hat = np.where(np.isnan(val), 8 << 20, val).astype(np.int64)
+    off = rs.integers(-3000, 3000, shape)
+    p24 = np.clip(t_hat + off, 0, (1 << 24) - 1).astype(np.uint32)
+    low8 = rs.integers(0, 256, shape, dtype=np.uint64).astype(np.uint32)
+    bits = (p24 << np.uint32(8)) | low8
+    u = np.asarray(rng.uniform_from_bits(jnp.asarray(bits), 0.0, 100.0))
+
+    sp, rm = jax.jit(
+        lambda e, uu, b: lookup(split2d, remove2d, aux, e, uu, b)
+    )(jnp.asarray(energy), jnp.asarray(u), jnp.asarray(bits))
+    sp, rm = np.asarray(sp), np.asarray(rm)
+
+    tn = np.asarray(table)
+    split_true = tn[idx, 0]
+    tot_true = tn[idx, 0].astype(np.float32) + tn[idx, 1].astype(np.float32)
+    if hits:
+        np.testing.assert_array_equal(sp, u < split_true)
+        np.testing.assert_array_equal(rm, u < tot_true)
+    else:
+        np.testing.assert_array_equal(u < sp, u < split_true)
+        np.testing.assert_array_equal(u < sp + rm, u < tot_true)
 
 
 def test_forced_boundary_bits_hit_fallback():

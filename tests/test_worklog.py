@@ -151,6 +151,20 @@ BASE = SimConfig(
         pytest.param(
             BASE.replace(worklog_horizon=4), marks=pytest.mark.slow
         ),
+        # polynomial-fit thresholds (pack_poly_thresholds): per-chunk Horner
+        # evaluation decides the comparisons, measured margins route
+        # boundary lanes to the exact fallback — must stay bit-exact vs the
+        # oracle (the constant table fits perfectly, exercising the decided
+        # path; the sine-table case below exercises realistic fits)
+        BASE.replace(lookup_mode="polythresh"),
+        pytest.param(
+            BASE.replace(lookup_mode="polythresh", lookup_hits=True),
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            BASE.replace(lookup_mode="polythresh", lookup_poly_degree=5),
+            marks=pytest.mark.slow,
+        ),
         # spawn-guard: the child-staging select+store block runs under a
         # per-step any(spawn) branch — skipped stores must never be ones a
         # spawn needed, so the multiset must stay bit-exact
@@ -167,6 +181,7 @@ BASE = SimConfig(
          "staticfull", "staticfull-hits", "staticfull2",
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
+         "polythresh", "polythresh-hits", "polythresh-d5",
          "spawn-guard", "spawn-guard-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
@@ -178,10 +193,18 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
     )
 
 
-def test_worklog_sine_table_growth(sine_table):
+@pytest.mark.parametrize(
+    "lookup_mode",
+    ["staticthresh",
+     # realistic fits: the sine table's fitted prefix decides most lanes,
+     # margin/escapee lanes exercise the fallback inside the engine
+     pytest.param("polythresh", marks=pytest.mark.slow)],
+)
+def test_worklog_sine_table_growth(sine_table, lookup_mode):
     # the default table needs velocity spread before collisions kick in;
     # run longer so the growth regime is exercised
-    cfg = BASE.replace(poisson_steps=3, poisson_timestep=8, init_n=500)
+    cfg = BASE.replace(poisson_steps=3, poisson_timestep=8, init_n=500,
+                       lookup_mode=lookup_mode)
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), sine_table)
     wl_state, wl_m = run_steps(cfg.replace(scheduler="dynamic"), sine_table)
     assert wl_m == oracle_m
