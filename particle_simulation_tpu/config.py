@@ -105,17 +105,23 @@ class SimConfig:
     # window) so resumes cluster exactly at window boundaries: fewer idle
     # slots (probe: 0.542 -> 0.619 at K=32/4 segments), a few more passes.
     worklog_align: bool = False
-    # staticthresh|polythresh|staticfull|staticguard|statichybrid|band0|
+    # polythresh|staticthresh|staticfull|staticguard|statichybrid|band0|
     # pipeband|threshold|needband|minmax (+ staticthresh_noties/_noover/
-    # _floor2 and probeconst — TIMING PROBES, wrong physics, never
-    # production).  polythresh replaces the chunk-swept threshold gathers
-    # with a per-chunk polynomial fit of the exact 24-bit thresholds
-    # (degree+1 single-row lane-LUTs + Horner; measured margins route rare
-    # boundary lanes to the exact f32 fallback — bit-exact for any table,
-    # see push_mcc.pack_poly_thresholds).
-    lookup_mode: str = "staticthresh"
+    # _floor2, polythresh_floor and probeconst — TIMING PROBES, wrong
+    # physics, never production).  polythresh (the r3i default, +10% over
+    # staticthresh: ab_r3h 1.25-1.26e9 vs 1.13e9, bit-exact final_n)
+    # replaces the chunk-swept threshold gathers with a per-chunk
+    # polynomial fit of the exact 24-bit thresholds — degree+1 single-row
+    # lane-LUTs + Horner + one packed margin gather; measured margins
+    # route rare boundary lanes to the exact f32 fallback, so outcomes are
+    # bit-exact for any table (push_mcc.pack_poly_thresholds).
+    lookup_mode: str = "polythresh"
     lookup_static_chunks: int = 8   # static-unroll coverage for static* modes
-    lookup_poly_degree: int = 4     # polythresh fit degree (4 and 5 measured)
+    # polythresh fit degree.  2 is a measured optimum: each extra degree
+    # adds one row-gather + fma to the spill-bound T-loop and loses 9-30%
+    # (deg3 1.13e9, deg4 0.80e9); deg1's fit window (chunks 1..2) is too
+    # narrow and pays the fallback every step (0.96e9).
+    lookup_poly_degree: int = 2
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

@@ -233,15 +233,16 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
         lookup each visit re-materializes it — S/8 vreg writes per visit per
         step (~1/3 of the visit's op count at S=128).  Callers build this
         ONCE before the T-loop and pass it via ``lookup(..., prep=...)``."""
-        if mode == "polythresh":
-            # rows 0..degree: f32 coefficients; degree+1/2: f32 margins;
-            # degree+3: chunk 0's exact 16-bit packed row (stays i32).
-            # Storage is i32 bit-patterns (gathers must never canonicalize
-            # a NaN payload); the f32 rows bitcast back here, once.
+        if mode.startswith("polythresh"):
+            # rows 0..degree: f32 coefficients; degree+1: packed per-chunk
+            # 16-bit margins (i32); degree+2: chunk 0's exact f32 threshold
+            # row.  Storage is i32 bit-patterns (gathers must never
+            # canonicalize a NaN payload); the f32 rows bitcast back here,
+            # once.
             rows = []
-            for r in range(poly_degree + 4):
+            for r in range(poly_degree + 3):
                 p = jnp.broadcast_to(aux_ref[r, :][None, :], shape)
-                if r != poly_degree + 3:
+                if r != poly_degree + 1:
                     p = jax.lax.bitcast_convert_type(p, jnp.float32)
                 rows.append(p)
             return tuple(rows)
@@ -384,16 +385,17 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             )
             return sp, rm
 
-        if mode == "polythresh":
+        if mode.startswith("polythresh"):
             # Per-chunk polynomial fit of the exact 24-bit split threshold
             # (pack_poly_thresholds): degree+1 single-row lane-LUTs on the
             # CHUNK index + a Horner evaluation decide both comparisons for
             # every lane of every fitted chunk — no per-visit selects, no
             # over-tail machinery.  Chunk 0 (the E=0 attractor; unfittable
-            # i^0.1 kink) keeps the exact 16-bit staticthresh protocol via
-            # one more row-gather.  Unfitted chunks' coefficients are NaN:
-            # Horner propagates it, both margin compares come out False,
-            # and those lanes join the tie lanes in the exact f32 fallback.
+            # i^0.1 kink) substitutes its exact f32 threshold row into the
+            # same value/margin protocol (one gather + one select).
+            # Unfitted chunks' coefficients are NaN: Horner propagates it,
+            # both margin compares come out False, and those lanes join
+            # the tie lanes in the exact f32 fallback.
             d = poly_degree
 
             def row(r, as_f32):
@@ -410,34 +412,33 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             val = jnp.take_along_axis(row(0, True), hi, axis=1)
             for k in range(1, d + 1):
                 val = val * xs + jnp.take_along_axis(row(k, True), hi, axis=1)
-            dls = row(d + 1, True)   # margins replicated: no gather needed
-            dlt = row(d + 2, True)
+            # chunk 0 folds into the same value/margin protocol via one
+            # exact-row gather + one select (its margins are ~pad-sized)
+            e0 = jnp.take_along_axis(row(d + 2, True), lo, axis=1)
+            val = jnp.where(hi == 0, e0, val)
+            # per-chunk packed margins: one gather, two 16-bit unpacks
+            mg = jnp.take_along_axis(row(d + 1, False), hi, axis=1)
+            dls = ((mg >> 16) & 0xFFFF).astype(jnp.float32)
+            dlt = (mg & 0xFFFF).astype(jnp.float32)
             p24f = jax.lax.bitcast_convert_type(
                 jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
             ).astype(jnp.float32)
             v2 = val + val
-            s_hit_p = p24f < val - dls
-            s_dec_p = s_hit_p | (p24f >= val + dls)
-            t_hit_p = p24f < v2 - dlt
-            t_dec_p = t_hit_p | (p24f >= v2 + dlt)
-
-            th0 = jnp.take_along_axis(row(d + 3, False), lo, axis=1)
-            ts8 = (th0 >> 16) & 0xFFFF
-            tt8 = th0 & 0xFFFF
-            p8 = jax.lax.bitcast_convert_type(
-                jnp.asarray(bits, jnp.uint32) >> jnp.uint32(16), jnp.int32
-            )
-            s_hit0 = p8 < ts8
-            t_hit0 = p8 < tt8
-            und0 = (p8 == ts8) | (p8 == tt8)
-
-            sel0 = hi == 0
-            nsel0 = jnp.logical_not(sel0)
-            s_hit = (sel0 & s_hit0) | (nsel0 & s_hit_p)
-            t_hit = (sel0 & t_hit0) | (nsel0 & t_hit_p)
-            und = (sel0 & und0) | (
-                nsel0 & jnp.logical_not(s_dec_p & t_dec_p)
-            )
+            s_hit = p24f < val - dls
+            s_dec = s_hit | (p24f >= val + dls)
+            t_hit = p24f < v2 - dlt
+            t_dec = t_hit | (p24f >= v2 + dlt)
+            if mode == "polythresh_floor":
+                # TIMING PROBE (wrong physics on margin/escapee lanes):
+                # decide every lane by the raw compares — no undecided
+                # reductions, no fallback sweep.  Prices the poly path's
+                # fixed per-step cost against st_floor2's static-sweep
+                # floor to attribute the r3i deficit.
+                big = jnp.float32(101.0)
+                sp = jnp.where(s_hit, big, 0.0)
+                rm = jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
+                return sp, rm
+            und = jnp.logical_not(s_dec & t_dec)
             return resolve(s_hit, t_hit, und)
 
         if mode == "minmax":
@@ -674,8 +675,13 @@ def pack_threshold_full(table):
 # fitted prefix only while its measured max |exact - f32-Horner| stays under
 # the cap; the pad dominates any cross-lowering re-evaluation drift (XLA vs
 # Mosaic, fma-vs-not: a few ulps of ~1e6-magnitude values, < 1.0 total).
-_POLY_ERR_CAP = 512.0
-_POLY_PAD = 64.0
+# Margins are PER-CHUNK: the r3i v1 A/B (global margin, pad 64) lost 33% to
+# base because delta_s=348 made ~2 lanes per tile-step margin-undecided
+# across the whole fitted window — the dynamic fallback then swept ~18
+# chunks every step.  Low chunks fit to err <= 8, so per-chunk margins put
+# their undecided rate BELOW the 16-bit tie rate.
+_POLY_ERR_CAP = 1024.0
+_POLY_PAD = 8.0
 
 
 def pack_poly_thresholds(table, degree=4):
@@ -696,20 +702,29 @@ def pack_poly_thresholds(table, degree=4):
         coefficient: Horner then yields NaN, both margin compares come out
         False, and all their lanes take the exact fallback — so no
         explicit window bound is ever tested;
-      * row degree+1: DELTA_S (replicated), the measured fit margin
-        max |T_s - Horner_f32| over every bucket of every fitted chunk,
-        plus _POLY_PAD;
-      * row degree+2: DELTA_T (replicated) for the total compare, measured
-        against the kernel's own 2*Horner expression — for the bundled
-        sine table T(split+remove) = 2*T(split) + {-1, 0} exactly, so the
-        doubling costs ~1 count; a generic table with unrelated columns
-        just measures a huge DELTA_T and degrades to the fallback (exact,
-        merely slower);
-      * row degree+3: chunk 0's EXACT 16-bit packed thresholds (the
-        pack_threshold_table encoding) — the i^0.1 kink at bucket 0 makes
-        chunk 0 unfittable (measured: max err 1.7e5 vs <= 300 for chunks
-        1..21 at degree 4), and chunk 0 is the E=0 attractor where most
-        lanes sit, so it keeps the staticthresh coarse protocol.
+      * row degree+1: PER-CHUNK margins, packed DELTA_S << 16 | DELTA_T as
+        two 16-bit counts per lane.  DELTA_S = ceil(max |T_s - value| over
+        the chunk's buckets) + _POLY_PAD; DELTA_T the same for the total
+        compare, measured against the kernel's own 2*value expression (for
+        the bundled sine table T(split+remove) = 2*T(split) + {-1, 0}
+        exactly, so the doubling costs ~1 count; a generic table with
+        unrelated columns just measures huge margins and degrades to the
+        fallback — exact, merely slower).  Per-chunk (not global) margins
+        matter: the low-energy chunks where the population lives fit to
+        err <= 8, so their undecided rate stays below the 16-bit tie rate
+        instead of inheriting the worst fitted chunk's margin (the r3i v1
+        lesson);
+      * row degree+2: chunk 0's EXACT 24-bit split thresholds as f32
+        values (every T <= 2^24 is exactly representable) — the i^0.1
+        kink at bucket 0 makes chunk 0 unfittable (measured: max err
+        1.7e5 vs <= 300 for chunks 1..21 at degree 4), and chunk 0 is the
+        E=0 attractor where most lanes sit.  The kernel folds this row
+        into the Horner value with ONE select (``where(hi == 0, ...)``),
+        so chunk 0 flows through the same margin compares as everything
+        else: delta_s = pad (the gathered value is exact), delta_t =
+        max |T_t - 2 T_s| + 2 pad (= 1 + 2 pad for the sine table) — no
+        separate coarse-protocol block (the r3i v2 lesson: the extra
+        p8/merge logic cost more than it saved in the spill-bound loop).
 
     Everything is traced jnp (the table is a jit argument); XLA hoists the
     pack out of the Poisson scan as loop-invariant.  The margins are
@@ -741,22 +756,31 @@ def pack_poly_thresholds(table, degree=4):
     coef = y @ jnp.asarray(pinv.T, jnp.float32)      # (C, degree+1) low->high
     cf = coef[:, ::-1]                               # high->low (Horner)
 
-    # measure the fit with the SAME f32 Horner expression the kernel runs
+    # measure the fit with the SAME f32 expressions the kernel runs: the
+    # Horner value for chunks >= 1, the exact f32 row for chunk 0
     xs = jnp.asarray(xs_np, jnp.float32)
     val = jnp.broadcast_to(cf[:, 0:1], (n_chunks, LANES))
     for k in range(1, degree + 1):
         val = val * xs[None, :] + cf[:, k : k + 1]
+    exact0 = ts_p[0].astype(jnp.float32)             # every T <= 2^24: exact
+    val = val.at[0].set(exact0)
     err_s = jnp.max(jnp.abs(val - ts_p.astype(jnp.float32)), axis=1)
     err_t = jnp.max(jnp.abs(val + val - tt_p.astype(jnp.float32)), axis=1)
 
     ok = (err_s <= _POLY_ERR_CAP) & (err_t <= 2.0 * _POLY_ERR_CAP + 2.0)
-    ok = ok.at[0].set(False)  # chunk 0 is exact-row territory
+    ok = ok.at[0].set(False)  # chunk 0 never uses its (meaningless) fit
     # fitted chunks form the longest ok-prefix of 1..C-1 (the sine table's
     # phase velocity grows with energy, so errors are monotone-ish; a
-    # prefix keeps the escapee band contiguous for the fallback sweep)
+    # prefix keeps the escapee band contiguous for the fallback sweep).
+    # Chunk 0 is decided through the exact row whatever its margins say:
+    # err_s[0] is 0 by construction and a pathological err_t[0] just makes
+    # its t-compare undecided (exact, slower).
     fitted = (jnp.cumsum(jnp.logical_not(ok).astype(jnp.int32)) <= 1) & ok
-    delta_s = jnp.max(jnp.where(fitted, err_s, 0.0)) + _POLY_PAD
-    delta_t = jnp.max(jnp.where(fitted, err_t, 0.0)) + 2.0 * _POLY_PAD
+    delta_s = jnp.ceil(err_s) + _POLY_PAD
+    delta_t = jnp.ceil(err_t) + 2.0 * _POLY_PAD
+    margins = (
+        jnp.clip(delta_s, 0, 0xFFFF).astype(jnp.int32) << 16
+    ) | jnp.clip(delta_t, 0, 0xFFFF).astype(jnp.int32)
 
     nanv = jnp.float32(jnp.nan)
     cf = jnp.where(fitted[:, None], cf, nanv)
@@ -764,13 +788,12 @@ def pack_poly_thresholds(table, degree=4):
         jnp.pad(cf[:, k], (0, LANES - n_chunks), constant_values=jnp.nan)
         for k in range(degree + 1)
     ]
-    rows_f32.append(jnp.full((LANES,), delta_s, jnp.float32))
-    rows_f32.append(jnp.full((LANES,), delta_t, jnp.float32))
     rows = [
         jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
         for r in rows_f32
     ]
-    rows.append(pack_threshold_table(table)[0, :])   # chunk 0 exact 16-bit
+    rows.append(jnp.pad(margins, (0, LANES - n_chunks)))
+    rows.append(jax.lax.bitcast_convert_type(exact0, jnp.int32))
     out = jnp.stack(rows, axis=0)
     n_rows = pl.cdiv(out.shape[0], 8) * 8
     return jnp.pad(out, ((0, n_rows - out.shape[0]), (0, 0)))
@@ -837,8 +860,8 @@ def _mobility_kernel(
             "band0"
             if config.lookup_mode
             in ("needband", "threshold", "pipeband", "staticguard",
-                "staticfull", "staticfull2", "polythresh")
-            or config.lookup_mode.startswith("staticthresh")
+                "staticfull", "staticfull2")
+            or config.lookup_mode.startswith(("staticthresh", "polythresh"))
             else config.lookup_mode
         )
         lookup = make_chunked_lookup(

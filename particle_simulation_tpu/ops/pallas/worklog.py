@@ -448,8 +448,8 @@ def _worklog_kernel(
         prep = (
             lookup.prepare_static(aux_ref, (S, LANES))
             if config.lookup_mode in ("staticguard", "staticfull",
-                                       "staticfull2", "polythresh")
-            or config.lookup_mode.startswith("staticthresh")
+                                       "staticfull2")
+            or config.lookup_mode.startswith(("staticthresh", "polythresh"))
             else None
         )
         # the velocity-kick products a*dt/2 are loop constants too
@@ -817,10 +817,10 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     split2d, remove2d, n_chunks = _pad_tables(table)
     if config.lookup_mode in ("staticfull", "staticfull2"):
         aux = pack_threshold_full(table)           # (2 x 8-padded chunks, L) i32
-    elif config.lookup_mode == "polythresh":
+    elif config.lookup_mode.startswith("polythresh"):
         aux = pack_poly_thresholds(
             table, config.lookup_poly_degree
-        )                                          # (8-padded degree+4, L) i32
+        )                                          # (8-padded degree+3, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")
     ):

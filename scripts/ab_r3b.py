@@ -43,6 +43,9 @@ BASE = SimConfig(
 # the highest-information variants go first
 VARIANTS = {
     "base": {},
+    # the pre-r3i default engine, pinned (after the r3i flip `base` means
+    # polythresh deg2 — keep the old anchor addressable for regression A/Bs)
+    "stthresh": {"lookup_mode": "staticthresh"},
     # horizon sweeps (probe_horizon.py): K-step windows + modular routing
     # bound post-death idle slots (predicted 45 -> ~30-35 ms mobility)
     "hor32A": {
@@ -173,6 +176,19 @@ VARIANTS = {
     # NaN-undecided into the tie sweep); the fitted window spans ~21 chunks
     # vs staticthresh's 8, so late-window band drift stays decided.
     "poly": {"lookup_mode": "polythresh"},
+    "poly3": {"lookup_mode": "polythresh", "lookup_poly_degree": 3},
+    # TIMING PROBE (wrong physics on margin/escapee lanes): poly path with
+    # no undecided reductions and no fallback sweep — prices the fixed poly
+    # cost against st_floor2's 1.31e9 static floor
+    "polyfloor": {"lookup_mode": "polythresh_floor"},
+    "polyfloor3": {"lookup_mode": "polythresh_floor", "lookup_poly_degree": 3},
+    "poly2": {"lookup_mode": "polythresh", "lookup_poly_degree": 2},
+    "poly1": {"lookup_mode": "polythresh", "lookup_poly_degree": 1},
+    "poly0": {"lookup_mode": "polythresh", "lookup_poly_degree": 0},
+    "poly2+hits": {"lookup_mode": "polythresh", "lookup_poly_degree": 2,
+                   "lookup_hits": True},
+    "poly3+hits": {"lookup_mode": "polythresh", "lookup_poly_degree": 3,
+                   "lookup_hits": True},
     "poly5": {"lookup_mode": "polythresh", "lookup_poly_degree": 5},
     "poly+hits": {"lookup_mode": "polythresh", "lookup_hits": True},
 }
