@@ -274,6 +274,59 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 jnp.full(shape, 0.002, jnp.float32),
                 jnp.full(shape, 0.002, jnp.float32),
             )
+        if mode == "probeidx":
+            # TIMING PROBE ONLY (wrong physics): probeconst plus a LIVE
+            # energy_to_index — the delta vs probeconst prices the per-step
+            # log10/trunc/clip bucketing chain alone, bounding the win of
+            # any bitcast-exponent indexing scheme before building its
+            # exactness machinery.  The parity bit keeps the index alive
+            # through DCE without being statically foldable.
+            idxp = energy_to_index(energy)
+            sp = jnp.float32(0.002) + (idxp & 1).astype(jnp.float32) * (
+                jnp.float32(1e-7)
+            )
+            return sp, jnp.full(shape, 0.002, jnp.float32)
+        if mode == "polythresh_bitfloor":
+            # TIMING PROBE ONLY (wrong physics): the full bitcast-indexed
+            # poly path at the polyfloor protocol — chunk = clamped f32
+            # EXPONENT of the energy (no log10, no trunc/clip, no lo), the
+            # mantissa is the Horner abscissa.  Gathers read the polythresh
+            # aux rows (wrong values, right op count).  bitfloor minus
+            # polyfloor = (bucketing chain) minus (bitcast chain): the true
+            # ceiling of an exact bitpoly redesign.
+            d = poly_degree
+            x = jax.lax.bitcast_convert_type(energy, jnp.int32)
+            g = jnp.clip((x >> 23) - 106, 0, 127)
+            t = (x & 0x7FFFFF).astype(jnp.float32) * jnp.float32(
+                2.0**-22
+            ) - jnp.float32(1.0)
+
+            def rowb(r, as_f32):
+                if prep is not None:
+                    return prep[r]
+                p = jnp.broadcast_to(aux_ref[r, :][None, :], shape)
+                return (
+                    jax.lax.bitcast_convert_type(p, jnp.float32)
+                    if as_f32
+                    else p
+                )
+
+            val = jnp.take_along_axis(rowb(0, True), g, axis=1)
+            for k in range(1, d + 1):
+                val = val * t + jnp.take_along_axis(rowb(k, True), g, axis=1)
+            mg = jnp.take_along_axis(rowb(d + 1, False), g, axis=1)
+            dls = ((mg >> 16) & 0xFFFF).astype(jnp.float32)
+            dlt = (mg & 0xFFFF).astype(jnp.float32)
+            p24f = jax.lax.bitcast_convert_type(
+                jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
+            ).astype(jnp.float32)
+            v2 = val + val
+            s_hit = p24f < val - dls
+            t_hit = p24f < v2 - dlt
+            big = jnp.float32(101.0)
+            sp = jnp.where(s_hit, big, 0.0)
+            rm = jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
+            return sp, rm
         idx = energy_to_index(energy)
         hi = idx // LANES
         lo = idx % LANES

@@ -191,6 +191,13 @@ VARIANTS = {
                    "lookup_hits": True},
     "poly5": {"lookup_mode": "polythresh", "lookup_poly_degree": 5},
     "poly+hits": {"lookup_mode": "polythresh", "lookup_hits": True},
+    # TIMING PROBES (wrong physics) pricing the energy_to_index chain:
+    # probeidx - probeconst = the log10/trunc/clip bucketing alone;
+    # bitfloor - polyfloor = bucketing chain minus bitcast-exponent chain
+    # (the ceiling of an exact bitcast-indexed poly redesign).
+    "probeidx": {"lookup_mode": "probeidx"},
+    "bitfloor": {"lookup_mode": "polythresh_bitfloor",
+                 "lookup_poly_degree": 2},
 }
 
 
