@@ -196,6 +196,9 @@ VARIANTS = {
     # bitfloor - polyfloor = bucketing chain minus bitcast-exponent chain
     # (the ceiling of an exact bitcast-indexed poly redesign).
     "probeidx": {"lookup_mode": "probeidx"},
+    # carry-cut ladder continuation (u2 1.101e9 -> u4 1.157e9): does the
+    # round-trip amortization beat the code-size spill cost one more time?
+    "u8": {"worklog_unroll": 8},
     "bitfloor": {"lookup_mode": "polythresh_bitfloor",
                  "lookup_poly_degree": 2},
 }
