@@ -66,7 +66,7 @@ class SimConfig:
     # block2+unroll2 1.121e9 vs base 1.065e9 pushes/s (+5.3%), all
     # cadences oracle-equal within the mode (tests/test_rng_modes.py).
     rng_mode: str = "block2"
-    # Worklog T-loop steps per fori_loop iteration (1, 2 or 4).  2 halves
+    # Worklog T-loop steps per fori_loop iteration (1, 2, 4 or 8).  2 halves
     # the loop-carry VMEM round-trips (the measured dominant spill cost)
     # and enables the pair-fused cipher under rng_mode="block2"; 4 halves
     # the carry traffic again at the cost of extra live registers;

@@ -610,7 +610,7 @@ def _worklog_kernel(
                 upper = jnp.minimum(t0 + hz - 1, t_steps)
         else:
             upper = t_steps
-        if config.worklog_unroll in (2, 4):
+        if config.worklog_unroll in (2, 4, 8):
             # worklog_unroll mobility steps per fori_loop iteration: the
             # loop carries round-trip VMEM once per ITERATION (the measured
             # dominant spill cost, DESIGN.md), so per-step carry traffic

@@ -155,9 +155,9 @@ def _check_stamp_domain(config: SimConfig) -> None:
         )
     if config.rng_mode not in ("perstep", "block2"):
         raise ValueError(f"unknown rng_mode {config.rng_mode!r}")
-    if config.worklog_unroll not in (1, 2, 4):
+    if config.worklog_unroll not in (1, 2, 4, 8):
         raise ValueError(
-            f"worklog_unroll={config.worklog_unroll} unsupported (1, 2 or 4)"
+            f"worklog_unroll={config.worklog_unroll} unsupported (1, 2, 4 or 8)"
         )
 
 

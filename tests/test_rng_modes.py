@@ -115,12 +115,13 @@ def _final(cfg, table):
     return sorted_particle_array(state), metrics
 
 
-@pytest.mark.parametrize("unroll", [2, 4])
+@pytest.mark.parametrize("unroll", [2, 4, 8])
 def test_worklog_block2_unrolled_matches_oracle(const_table, unroll):
     """worklog (unrolled T-loop + pair-fused block2 draws) vs the pure-JAX
     cadences under the same rng_mode: exact multiset + metrics equality.
     T=7 makes the unroll=4 loop's last iteration straddle ``upper`` at BOTH
-    its second pair's even step and the odd tail — every gate exercised."""
+    its second pair's even step and the odd tail — every gate exercised
+    (at unroll=8 the whole loop is one straddling iteration)."""
     cfg = _CFG.replace(rng_mode="block2", worklog_unroll=unroll)
     arr_w, m_w = _final(cfg, const_table)
     arr_n, m_n = _final(cfg.replace(scheduler="naive"), const_table)
@@ -138,7 +139,7 @@ def test_worklog_block2_sync_oracle(const_table):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("unroll", [2, 4])
+@pytest.mark.parametrize("unroll", [2, 4, 8])
 @pytest.mark.parametrize("mode", ["perstep", "block2"])
 def test_worklog_unrolled_bitexact_vs_unroll1(const_table, mode, unroll):
     """The unroll is a pure rescheduling of the same per-step math: final
