@@ -122,6 +122,14 @@ class SimConfig:
     # (deg3 1.13e9, deg4 0.80e9); deg1's fit window (chunks 1..2) is too
     # narrow and pays the fallback every step (0.96e9).
     lookup_poly_degree: int = 2
+    # Candidate gate for the polythresh fallback (EXACT for any table): a
+    # lane whose 24-bit draw payload >= the table's global max total
+    # threshold can never collide, and the raw margin compares already
+    # decide it — so tie/escapee lanes only enter the exact fallback sweep
+    # on steps where their draw is a live candidate (a max(split+remove)
+    # = ~10% fraction for the bundled sine table).  One scalar compare +
+    # and per step; attacks the late-window fallback-trip cost.
+    lookup_cand_gate: bool = False
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

@@ -138,7 +138,7 @@ def _wave_loop(start, stop, visit, acc, waves):
 
 
 def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
-                        tail_waves=0, poly_degree=4):
+                        tail_waves=0, poly_degree=4, cand_gate=False):
     """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -245,6 +245,15 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 if r != poly_degree + 1:
                     p = jax.lax.bitcast_convert_type(p, jnp.float32)
                 rows.append(p)
+            if cand_gate:
+                # the candidate bound is ONE scalar (row degree+3, any
+                # lane): hoist it as a scalar, not a plane — the per-step
+                # compare broadcasts it for free
+                rows.append(
+                    jax.lax.bitcast_convert_type(
+                        aux_ref[poly_degree + 3, 0], jnp.float32
+                    )
+                )
             return tuple(rows)
         K = min(static_chunks, n_chunks - 1)
         if mode in ("staticfull", "staticfull2"):
@@ -492,6 +501,22 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 rm = jnp.where(t_hit & jnp.logical_not(s_hit), big, 0.0)
                 return sp, rm
             und = jnp.logical_not(s_dec & t_dec)
+            if cand_gate:
+                # Candidate gate (EXACT): a lane with p24 >= max_idx
+                # T(split+remove) can never collide, and its raw compares
+                # already decide that (val - delta_s <= T_s <= p24max by
+                # margin soundness; NaN chunks compare False) — so tie and
+                # escapee lanes only join the fallback sweep on the ~p_max
+                # fraction of steps where their draw is a live candidate.
+                # One compare + one and per step buys a ~1/p_max cut in
+                # fallback trips (the late-window dominator).
+                if prep is not None:
+                    pmax = prep[d + 3]
+                else:
+                    pmax = jax.lax.bitcast_convert_type(
+                        aux_ref[d + 3, 0], jnp.float32
+                    )
+                und = und & (p24f < pmax)
             return resolve(s_hit, t_hit, und)
 
         if mode == "minmax":
@@ -777,7 +802,11 @@ def pack_poly_thresholds(table, degree=4):
         else: delta_s = pad (the gathered value is exact), delta_t =
         max |T_t - 2 T_s| + 2 pad (= 1 + 2 pad for the sine table) — no
         separate coarse-protocol block (the r3i v2 lesson: the extra
-        p8/merge logic cost more than it saved in the spill-bound loop).
+        p8/merge logic cost more than it saved in the spill-bound loop);
+      * row degree+3: the global max total threshold (f32 bit-pattern,
+        replicated across lanes) — the ``lookup_cand_gate`` bound (a lane
+        whose 24-bit draw payload is >= it can never collide, so it never
+        needs the fallback sweep).
 
     Everything is traced jnp (the table is a jit argument); XLA hoists the
     pack out of the Poisson scan as loop-invariant.  The margins are
@@ -847,6 +876,20 @@ def pack_poly_thresholds(table, degree=4):
     ]
     rows.append(jnp.pad(margins, (0, LANES - n_chunks)))
     rows.append(jax.lax.bitcast_convert_type(exact0, jnp.int32))
+    # row degree+3: the GLOBAL max total threshold max_idx T(split+remove)
+    # (one f32 value, every lane) — the candidate gate's bound.  A draw
+    # with p24 >= this can never collide anywhere in the table, so the
+    # kernel may drop such lanes from the undecided set: their raw margin
+    # compares are already exact (val - delta_s <= T_s <= p24max <= p24
+    # by margin soundness, and NaN chunks compare False), so gating them
+    # out of the fallback sweep changes no outcome — it only stops
+    # non-candidate tie/escapee lanes from buying fallback trips.
+    p24max = jnp.max(tt).astype(jnp.float32)  # T <= 2^24: f32-exact
+    rows.append(
+        jax.lax.bitcast_convert_type(
+            jnp.full((LANES,), p24max, jnp.float32), jnp.int32
+        )
+    )
     out = jnp.stack(rows, axis=0)
     n_rows = pl.cdiv(out.shape[0], 8) * 8
     return jnp.pad(out, ((0, n_rows - out.shape[0]), (0, 0)))

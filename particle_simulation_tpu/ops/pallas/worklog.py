@@ -389,6 +389,7 @@ def _worklog_kernel(
                                        "polythresh"),
             tail_waves=config.lookup_tail_waves,
             poly_degree=config.lookup_poly_degree,
+            cand_gate=config.lookup_cand_gate,
         )
 
         suspended0 = _is_suspended(status0)

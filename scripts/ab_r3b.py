@@ -201,6 +201,14 @@ VARIANTS = {
     "u8": {"worklog_unroll": 8},
     "bitfloor": {"lookup_mode": "polythresh_bitfloor",
                  "lookup_poly_degree": 2},
+    # round-3j: candidate gate (EXACT) — tie/escapee lanes only join the
+    # fallback sweep when their draw can actually collide (p24 < global
+    # max total threshold, ~10% for the sine table).  One compare + and
+    # per step; polyfloor deg2 (1.456e9) vs poly exact (1.25e9) prices
+    # the whole fallback machinery at ~16%, and the trips are the
+    # late-window dominator.
+    "cgate": {"lookup_cand_gate": True},
+    "cgate+u8": {"lookup_cand_gate": True, "worklog_unroll": 8},
 }
 
 

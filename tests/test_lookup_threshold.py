@@ -63,6 +63,16 @@ def test_lookup_modes_preserve_outcomes(mode, hits):
     _check_lookup_outcomes(mode, hits)
 
 
+@pytest.mark.parametrize("hits", [False, True])
+def test_polythresh_cand_gate_preserves_outcomes(hits):
+    """lookup_cand_gate: non-candidate lanes (p24 >= global max total
+    threshold) are dropped from the fallback set — outcomes must be
+    identical.  The random table fits no chunk, so WITHOUT the gate every
+    non-chunk-0 lane is NaN-undecided; the gate must decide exactly the
+    never-collide ones and route the rest to the same exact fallback."""
+    _check_lookup_outcomes("polythresh", hits, cand_gate=True)
+
+
 @pytest.mark.parametrize("mode", ["staticthresh", "staticthresh_m"])
 @pytest.mark.parametrize("waves", [2, 3, 8])
 def test_tail_waves_preserve_outcomes(mode, waves):
@@ -72,7 +82,7 @@ def test_tail_waves_preserve_outcomes(mode, waves):
     _check_lookup_outcomes(mode, hits=False, tail_waves=waves)
 
 
-def _check_lookup_outcomes(mode, hits, tail_waves=0):
+def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False):
     table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
@@ -87,7 +97,7 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0):
     )
     # static_chunks=3 << the 79-chunk table forces the dynamic tail path
     lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3, hits=hits,
-                                 tail_waves=tail_waves)
+                                 tail_waves=tail_waves, cand_gate=cand_gate)
 
     # energies spread over the whole table; (8, 128) tile
     rs = np.random.default_rng(3)
@@ -204,6 +214,16 @@ def test_poly_margins_are_sound():
     low = idx < 9 * LANES
     assert dls[low].max() <= 24.0
     assert dlt[low].max() <= 48.0
+    # the candidate-gate bound (row degree+3) must be the global max total
+    # threshold: together with sound margins this proves the gate exact
+    # (p24 >= bound  =>  p24 >= T_t(c) >= T_s(c) and the raw compares,
+    # val - delta <= T by soundness, already say "no event")
+    p24max = np.asarray(
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(aux_np[degree + 3]), jnp.float32
+        )
+    )
+    np.testing.assert_array_equal(p24max, np.float32(tt.max()))
 
 
 @pytest.mark.parametrize("hits", [False, True])

@@ -165,6 +165,14 @@ BASE = SimConfig(
             BASE.replace(lookup_mode="polythresh", lookup_poly_degree=5),
             marks=pytest.mark.slow,
         ),
+        # candidate gate: non-candidate lanes dropped from the fallback
+        # set — the 50/50 const table makes every lane a candidate (bound
+        # = 2^24), so the gate must be a provable no-op here; the sine
+        # table growth test below exercises the active gate
+        pytest.param(
+            BASE.replace(lookup_mode="polythresh", lookup_cand_gate=True),
+            marks=pytest.mark.slow,
+        ),
         # spawn-guard: the child-staging select+store block runs under a
         # per-step any(spawn) branch — skipped stores must never be ones a
         # spawn needed, so the multiset must stay bit-exact
@@ -182,6 +190,7 @@ BASE = SimConfig(
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
          "polythresh", "polythresh-hits", "polythresh-d5",
+         "polythresh-cgate",
          "spawn-guard", "spawn-guard-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
@@ -194,17 +203,21 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
 
 
 @pytest.mark.parametrize(
-    "lookup_mode",
-    ["staticthresh",
+    "lookup_mode,cand_gate",
+    [("staticthresh", False),
      # realistic fits: the sine table's fitted prefix decides most lanes,
      # margin/escapee lanes exercise the fallback inside the engine
-     pytest.param("polythresh", marks=pytest.mark.slow)],
+     pytest.param("polythresh", False, marks=pytest.mark.slow),
+     # candidate gate ACTIVE: the sine table's bound (max total ~10%)
+     # excludes ~90% of lanes per step from the fallback set — the
+     # multiset must stay bit-exact vs the oracle
+     ("polythresh", True)],
 )
-def test_worklog_sine_table_growth(sine_table, lookup_mode):
+def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate):
     # the default table needs velocity spread before collisions kick in;
     # run longer so the growth regime is exercised
     cfg = BASE.replace(poisson_steps=3, poisson_timestep=8, init_n=500,
-                       lookup_mode=lookup_mode)
+                       lookup_mode=lookup_mode, lookup_cand_gate=cand_gate)
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), sine_table)
     wl_state, wl_m = run_steps(cfg.replace(scheduler="dynamic"), sine_table)
     assert wl_m == oracle_m
