@@ -246,14 +246,12 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                     p = jax.lax.bitcast_convert_type(p, jnp.float32)
                 rows.append(p)
             if cand_gate:
-                # the candidate bound is ONE scalar (row degree+3, any
-                # lane): hoist it as a scalar, not a plane — the per-step
-                # compare broadcasts it for free
-                rows.append(
-                    jax.lax.bitcast_convert_type(
-                        aux_ref[poly_degree + 3, 0], jnp.float32
-                    )
-                )
+                # the candidate bound (row degree+3, every lane equal) is
+                # hoisted as a (1, L) i32 row — the per-step integer
+                # compare broadcasts it across sublanes (a scalar load +
+                # bitcast would be cheaper still, but Mosaic rejects
+                # scalar tpu.bitcast and scalar VMEM reads are unproven)
+                rows.append(aux_ref[poly_degree + 3, :][None, :])
             return tuple(rows)
         K = min(static_chunks, n_chunks - 1)
         if mode in ("staticfull", "staticfull2"):
@@ -513,10 +511,11 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 if prep is not None:
                     pmax = prep[d + 3]
                 else:
-                    pmax = jax.lax.bitcast_convert_type(
-                        aux_ref[d + 3, 0], jnp.float32
-                    )
-                und = und & (p24f < pmax)
+                    pmax = aux_ref[d + 3, :][None, :]
+                p24i = jax.lax.bitcast_convert_type(
+                    jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
+                )
+                und = und & (p24i < pmax)
             return resolve(s_hit, t_hit, und)
 
         if mode == "minmax":
@@ -803,7 +802,7 @@ def pack_poly_thresholds(table, degree=4):
         max |T_t - 2 T_s| + 2 pad (= 1 + 2 pad for the sine table) — no
         separate coarse-protocol block (the r3i v2 lesson: the extra
         p8/merge logic cost more than it saved in the spill-bound loop);
-      * row degree+3: the global max total threshold (f32 bit-pattern,
+      * row degree+3: the global max total threshold (raw i32 count,
         replicated across lanes) — the ``lookup_cand_gate`` bound (a lane
         whose 24-bit draw payload is >= it can never collide, so it never
         needs the fallback sweep).
@@ -884,12 +883,10 @@ def pack_poly_thresholds(table, degree=4):
     # by margin soundness, and NaN chunks compare False), so gating them
     # out of the fallback sweep changes no outcome — it only stops
     # non-candidate tie/escapee lanes from buying fallback trips.
-    p24max = jnp.max(tt).astype(jnp.float32)  # T <= 2^24: f32-exact
-    rows.append(
-        jax.lax.bitcast_convert_type(
-            jnp.full((LANES,), p24max, jnp.float32), jnp.int32
-        )
-    )
+    # raw i32 count (<= 2^24), replicated across lanes; the kernel compares
+    # in the integer domain (Mosaic rejects scalar tpu.bitcast, so the
+    # bound never goes through f32)
+    rows.append(jnp.full((LANES,), jnp.max(tt), jnp.int32))
     out = jnp.stack(rows, axis=0)
     n_rows = pl.cdiv(out.shape[0], 8) * 8
     return jnp.pad(out, ((0, n_rows - out.shape[0]), (0, 0)))

@@ -218,12 +218,7 @@ def test_poly_margins_are_sound():
     # threshold: together with sound margins this proves the gate exact
     # (p24 >= bound  =>  p24 >= T_t(c) >= T_s(c) and the raw compares,
     # val - delta <= T by soundness, already say "no event")
-    p24max = np.asarray(
-        jax.lax.bitcast_convert_type(
-            jnp.asarray(aux_np[degree + 3]), jnp.float32
-        )
-    )
-    np.testing.assert_array_equal(p24max, np.float32(tt.max()))
+    np.testing.assert_array_equal(aux_np[degree + 3], tt.max())
 
 
 @pytest.mark.parametrize("hits", [False, True])
