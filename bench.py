@@ -6,11 +6,11 @@ Protocol (BASELINE.md north star: >= 1e9 pushes/sec/chip):
     engine;
   * runs on the smallest capacity-ladder working prefix that holds the
     population (runtime._bucket_size) — the same bucketing the production
-    runtime uses; an overflow redoes the measurement one bucket up (the
-    mid-phase avalanche at this config overflows the first ladder buckets,
-    so the climb settles at the full 2M container, where reference
-    capacity semantics apply: children beyond the container are dropped
-    and counted, src/pic.cu:544);
+    runtime uses; an overflow redoes the measurement one bucket up
+    (reference capacity semantics apply at the full container: children
+    beyond it are dropped and counted, src/pic.cu:544).  The settled
+    bucket is remembered in out/data/bench_bucket_hint.json so later runs
+    skip doomed-bucket compiles;
   * one 3-step device-resident warmup loop (compile + reach the
     collision-churn regime), then N_WINDOWS timed 3-step loops, each a
     single device dispatch; the REPORTED number is the best (max pushes/s)
@@ -21,35 +21,67 @@ Protocol (BASELINE.md north star: >= 1e9 pushes/sec/chip):
     /root/reference/src/pic.cu:476,563);
   * the whole warmup+windows round is run TWICE (compile is cached by the
     second round, so it costs seconds) and the reported value is the best
-    window across both rounds — a transient that poisons one entire round
-    (e.g. a background process contending for the single-tenant chip)
-    still can't sink the metric;
+    window across both rounds;
   * pushes counted EXACTLY: the engines count every lane-step actually
     advanced as base-2^30 i32 pairs summed as Python ints
     (metrics["pushes_lo"/"pushes_hi"]), so the metric is ground truth.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Wall-clock contract (round-3 driver capture was rc=124 with NO output —
+a hang anywhere upstream of the final print produced nothing at all):
+the process that runs `python bench.py` is a WATCHDOG that never imports
+jax and therefore cannot hang.  It spawns this same file as a measuring
+child (BENCH_ROLE=child) in its own process group; the child appends one
+JSON line per completed timed window to a progress file.  At
+BENCH_DEADLINE_S (default 1100 s) minus a kill margin the watchdog
+SIGTERMs/SIGKILLs the child group and prints the best window recorded so
+far — value 0.0 with a "degraded" note only if literally nothing
+completed.  ONE JSON line is printed in every case: clean finish, child
+hang, backend outage, or the watchdog itself being SIGTERMed.  The child
+additionally honors a soft deadline (hard minus 90 s) so the normal path
+finishes gracefully, and caps its backend-outage probe budget to the
+time actually remaining.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
+import tempfile
 import time
+
+METRIC_NAME = "particle_pushes_per_sec_per_chip_at_1M"
+BASELINE_PUSHES_PER_SEC = 1e9  # north star (BASELINE.json)
+
+# ---------------------------------------------------------------------------
+# Wall-clock deadline plumbing (watchdog + child)
+# ---------------------------------------------------------------------------
+_DEADLINE_ENV = "BENCH_DEADLINE_S"  # total wall budget for the whole capture
+_DEADLINE_TS_ENV = "BENCH_DEADLINE_TS"  # absolute deadline (child; survives re-exec)
+_ROLE_ENV = "BENCH_ROLE"  # "child" in the measuring process
+_PROGRESS_ENV = "BENCH_PROGRESS_FILE"  # JSON-lines file the child appends to
+_DEFAULT_DEADLINE_S = 1100.0  # inside any plausible driver window
+_CHILD_GRACE_S = 90.0  # child stops starting new phases this early
+_KILL_MARGIN_S = 45.0  # watchdog kills the child this early
+_HINT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "out", "data", "bench_bucket_hint.json"
+)
 
 # Backend-init resilience: the axon worker is occasionally down and a dead
 # worker poisons the whole process (backend init raises UNAVAILABLE after a
-# ~25 min hang; retrying in-process cannot recover).  Re-exec the script a
+# ~25 min hang; retrying in-process cannot recover).  Re-exec the child a
 # few times so a worker that comes back mid-capture still yields a number
-# instead of an empty driver capture (round-3 incident: the worker was
-# unavailable for hours and every client hung at init).
+# (round-3 incident: the worker was unavailable for hours and every client
+# hung at init).  The re-exec ladder lives in the CHILD; the watchdog's
+# deadline bounds the whole dance.
 _REEXEC_ENV = "BENCH_INIT_RETRIES"
 # Each re-exec'd attempt first WAITS for the backend with cheap bounded
 # subprocess probes (a dead worker hangs the raw client ~25 min; a killed
-# probe subprocess costs 150 s), so 3 re-execs x 6 h of probing rides out
-# even the Aug 18-style multi-hour outage.  Retries trigger ONLY on
-# UNAVAILABLE and the first attempt never probes, so a healthy chip pays
-# nothing.
+# probe subprocess costs 150 s).  Retries trigger ONLY on UNAVAILABLE and
+# the first attempt never probes, so a healthy chip pays nothing.  When a
+# deadline is armed the probe budget is capped to the time remaining.
 _MAX_INIT_RETRIES = 3
 _RETRY_WAIT_S = 120
 _PROBE_TIMEOUT_S = 150
@@ -60,6 +92,17 @@ _PROBE_SRC = (
 )
 
 
+def _deadline_ts():
+    """Absolute unix deadline for the current process, or None."""
+    ts = os.environ.get(_DEADLINE_TS_ENV)
+    return float(ts) if ts else None
+
+
+def _remaining_s():
+    ts = _deadline_ts()
+    return None if ts is None else ts - time.monotonic()
+
+
 def _wait_for_backend(budget_s=_PROBE_BUDGET_S):
     """Block until a bounded subprocess can run a trivial jax program.
 
@@ -68,8 +111,9 @@ def _wait_for_backend(budget_s=_PROBE_BUDGET_S):
     initialize poisons the process for good, so the probe must die with
     the attempt.
     """
-    import subprocess
-
+    rem = _remaining_s()
+    if rem is not None:
+        budget_s = min(budget_s, max(rem - _CHILD_GRACE_S, 0))
     deadline = time.monotonic() + budget_s
     while True:
         try:
@@ -97,6 +141,9 @@ def _reexec_on_backend_failure(exc: Exception):
     tries = int(os.environ.get(_REEXEC_ENV, "0"))
     if "UNAVAILABLE" not in str(exc) or tries >= _MAX_INIT_RETRIES:
         raise exc
+    rem = _remaining_s()
+    if rem is not None and rem < _CHILD_GRACE_S + _RETRY_WAIT_S:
+        raise exc  # no time for another attempt; let the watchdog report
     print(
         f"# backend unavailable (attempt {tries + 1}/{_MAX_INIT_RETRIES}); "
         f"re-executing in {_RETRY_WAIT_S} s",
@@ -108,6 +155,9 @@ def _reexec_on_backend_failure(exc: Exception):
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+# ---------------------------------------------------------------------------
+# Chip-queue preemption (runs in the child, before any timed work)
+# ---------------------------------------------------------------------------
 # The chip is SINGLE-TENANT: a background sweep contending with this
 # capture once turned 0.9 s/step into 140 s/step, and best-of-N windows
 # cannot save a capture that is contended for its whole duration.  The
@@ -169,9 +219,137 @@ def _preempt_chip_queue(sleep=time.sleep):
     return True
 
 
-import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# Watchdog (parent): never imports jax, cannot hang, always prints
+# ---------------------------------------------------------------------------
+_emitted = False
 
-BASELINE_PUSHES_PER_SEC = 1e9  # north star (BASELINE.json)
+
+def _emit(value, **notes):
+    """Print the ONE contract JSON line (exactly once per process)."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    rec = {
+        "metric": METRIC_NAME,
+        "value": value,
+        "unit": "pushes/s",
+        "vs_baseline": value / BASELINE_PUSHES_PER_SEC,
+    }
+    rec.update(notes)
+    print(json.dumps(rec), flush=True)
+
+
+def _best_progress(progress_path):
+    """Parse the child's JSON-lines progress file.
+
+    Returns (best_rate, n_windows).  Malformed trailing lines (child killed
+    mid-write) are ignored."""
+    best, count = 0.0, 0
+    try:
+        with open(progress_path) as f:
+            lines = f.readlines()
+    except OSError:
+        return best, count
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+            rate = float(rec["rate"])
+        except (ValueError, KeyError, TypeError):
+            continue
+        count += 1
+        best = max(best, rate)
+    return best, count
+
+
+def _kill_group(proc, sig):
+    try:
+        os.killpg(proc.pid, sig)
+    except (ProcessLookupError, PermissionError):
+        pass
+
+
+def _watchdog(child_argv, deadline_s, progress_path, extra_env=None):
+    """Run the measuring child under a hard wall-clock deadline.
+
+    Returns (value, notes) for _emit.  The child appends one JSON line per
+    completed timed window to progress_path; whatever is there when the
+    child exits or the deadline fires is the result."""
+    env = dict(os.environ)
+    env[_ROLE_ENV] = "child"
+    env[_PROGRESS_ENV] = progress_path
+    env[_DEADLINE_TS_ENV] = repr(time.monotonic() + deadline_s - _KILL_MARGIN_S)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.Popen(child_argv, env=env, start_new_session=True)
+
+    def _on_term(signum, frame):
+        # The driver is reaping us: get the line out before dying.
+        _kill_group(proc, signal.SIGKILL)
+        value, n = _best_progress(progress_path)
+        notes = {"windows": n}
+        if n == 0:
+            notes["degraded"] = "no window completed before external signal"
+        _emit(value, **notes)
+        os._exit(0)
+
+    old_term = signal.signal(signal.SIGTERM, _on_term)
+    old_int = signal.signal(signal.SIGINT, _on_term)
+    try:
+        timed_out = False
+        try:
+            proc.wait(timeout=max(deadline_s - _KILL_MARGIN_S, 1.0))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            print(
+                f"# bench deadline ({deadline_s:.0f}s) reached; "
+                "stopping the measuring child",
+                file=sys.stderr,
+                flush=True,
+            )
+            _kill_group(proc, signal.SIGTERM)
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                _kill_group(proc, signal.SIGKILL)
+                proc.wait()
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+
+    value, n = _best_progress(progress_path)
+    notes = {"windows": n}
+    if timed_out:
+        notes["deadline_hit"] = True
+    if n == 0:
+        notes["degraded"] = (
+            "no timed window completed within the deadline"
+            if timed_out
+            else f"measuring child exited rc={proc.returncode} with no window"
+        )
+    return value, notes
+
+
+def watchdog_main():
+    deadline_s = float(os.environ.get(_DEADLINE_ENV, _DEFAULT_DEADLINE_S))
+    fd, progress_path = tempfile.mkstemp(prefix="bench_progress_", suffix=".jsonl")
+    os.close(fd)
+    try:
+        value, notes = _watchdog(
+            [sys.executable, os.path.abspath(__file__)], deadline_s, progress_path
+        )
+    finally:
+        pass  # keep the progress file for post-mortem; /tmp is ephemeral
+    _emit(value, **notes)
+
+
+# ---------------------------------------------------------------------------
+# Measuring child
+# ---------------------------------------------------------------------------
 # warm and timed loops MUST have the same step count: poisson_loop's scan
 # length is a static jit key, so a different count would recompile inside
 # the timed region.  3-step windows are the round-1 protocol (kept for
@@ -181,33 +359,45 @@ WARM_STEPS = 3
 TIMED_STEPS = 3
 N_WINDOWS = 5  # best-of-N; one tunnel stall can no longer poison the metric
 N_ROUNDS = 2  # independent full rounds; best window across all of them wins
+_MIN_WINDOW_BUDGET_S = 60.0  # don't start a window with less than this left
+_MIN_ROUND_BUDGET_S = 150.0  # don't start round 2 with less than this left
 
 
-def _run_windows(state, table, cfg_w, first_index):
-    """Run N_WINDOWS timed loops; return (state, windows, overflow) where
-    windows = [(pushes, elapsed_s), ...]."""
-    windows = []
-    overflow = False
-    idx = first_index
-    for _ in range(N_WINDOWS):
-        from particle_simulation_tpu.ops.step import poisson_loop
-
-        t0 = time.perf_counter()
-        state, metrics = poisson_loop(state, table, cfg_w, TIMED_STEPS, first_index=idx)
-        final_n = int(state.n)  # host readback forces execution
-        elapsed = time.perf_counter() - t0
-        idx += TIMED_STEPS
-
-        lo = [int(x) for x in metrics["pushes_lo"]]
-        hi = [int(x) for x in metrics["pushes_hi"]]
-        pushes = float(sum(l + (h << 30) for l, h in zip(lo, hi)))
-        assert int(metrics["n"][-1]) == final_n
-        overflow = overflow or bool(jnp.any(metrics["overflow"]))
-        windows.append((pushes, elapsed))
-    return state, windows, overflow
+def _progress_write(rec):
+    path = os.environ.get(_PROGRESS_ENV)
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
 
 
-def main():
+def _out_of_time(budget_s):
+    rem = _remaining_s()
+    return rem is not None and rem < budget_s
+
+
+def _read_bucket_hint():
+    try:
+        with open(_HINT_PATH) as f:
+            return int(json.load(f)["w"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_bucket_hint(w):
+    try:
+        os.makedirs(os.path.dirname(_HINT_PATH), exist_ok=True)
+        with open(_HINT_PATH, "w") as f:
+            json.dump({"w": int(w)}, f)
+    except OSError:
+        pass
+
+
+def child_main():
+    import jax.numpy as jnp
+
     _preempt_chip_queue()
     from particle_simulation_tpu import SimConfig, setup_particles
     from particle_simulation_tpu.cross_section import load_table
@@ -224,9 +414,20 @@ def main():
     )
     table = load_table()
 
-    value = 0.0
     w = _bucket_size(config.init_n, config.capacity)
+    hint = _read_bucket_hint()
+    if hint is not None and hint > w:
+        # A previous capture settled above the natural first bucket: start
+        # there and skip the doomed-bucket compile (each distinct bucket is
+        # a separate ~minutes compile through the remote tunnel).  The
+        # measurement is identical — the climb would land here anyway.
+        w = min(_bucket_size(hint, config.capacity), config.capacity)
+        print(f"# bucket hint: starting at w={w}", file=sys.stderr, flush=True)
+
     for bench_round in range(N_ROUNDS):
+        if bench_round > 0 and _out_of_time(_MIN_ROUND_BUDGET_S):
+            print("# soft deadline: skipping round 2", file=sys.stderr, flush=True)
+            break
         full_state = setup_particles(config)
         while True:
             state = _slice_state(full_state, w) if w < config.capacity else full_state
@@ -241,42 +442,78 @@ def main():
             _ = int(state.n)  # forces execution (block_until_ready is a
             # no-op on some remote backends)
             warm_s = time.perf_counter() - t0
+            print(f"# round {bench_round}: warm {warm_s:.1f}s at w={w}",
+                  file=sys.stderr, flush=True)
 
-            state, windows, overflow = _run_windows(
-                state, table, cfg_w, WARM_STEPS
-            )
-
-            if w < config.capacity and (bool(jnp.any(m0["overflow"])) or overflow):
+            if w < config.capacity and bool(jnp.any(m0["overflow"])):
                 w = _bucket_size(w + 1, config.capacity)  # redo bigger (exact)
                 continue
+
+            # Timed windows, recorded to the progress file AS THEY COMPLETE
+            # so a later stall can't erase them.  An overflow at a
+            # sub-capacity bucket invalidates nothing already recorded
+            # (physics is exact until the first overflow) but forces a redo
+            # of the remaining windows one bucket up.
+            redo = False
+            idx = WARM_STEPS
+            for win in range(N_WINDOWS):
+                if _out_of_time(_MIN_WINDOW_BUDGET_S):
+                    print("# soft deadline: stopping windows",
+                          file=sys.stderr, flush=True)
+                    return
+                t0 = time.perf_counter()
+                state, metrics = poisson_loop(
+                    state, table, cfg_w, TIMED_STEPS, first_index=idx
+                )
+                final_n = int(state.n)  # host readback forces execution
+                elapsed = time.perf_counter() - t0
+                idx += TIMED_STEPS
+
+                lo = [int(x) for x in metrics["pushes_lo"]]
+                hi = [int(x) for x in metrics["pushes_hi"]]
+                pushes = float(sum(l + (h << 30) for l, h in zip(lo, hi)))
+                assert int(metrics["n"][-1]) == final_n
+                if w < config.capacity and bool(jnp.any(metrics["overflow"])):
+                    redo = True
+                    break
+                rate = pushes / elapsed
+                _progress_write(
+                    {
+                        "round": bench_round,
+                        "window": win,
+                        "w": w,
+                        "pushes": pushes,
+                        "elapsed": elapsed,
+                        "rate": rate,
+                        "final_n": final_n,
+                    }
+                )
+                print(f"# round {bench_round} window {win}: {rate:.4g} pushes/s",
+                      file=sys.stderr, flush=True)
+            if redo:
+                w = _bucket_size(w + 1, config.capacity)
+                continue
+            _write_bucket_hint(w)
             break
 
-        rates = sorted(p / e for p, e in windows)
-        value = max(value, rates[-1])
-        print(
-            f"# round {bench_round}: warm {warm_s:.1f}s, windows "
-            f"{[f'{r:.3g}' for r in rates]} pushes/s",
-            file=sys.stderr,
-        )
 
-    print(
-        json.dumps(
-            {
-                "metric": "particle_pushes_per_sec_per_chip_at_1M",
-                "value": value,
-                "unit": "pushes/s",
-                "vs_baseline": value / BASELINE_PUSHES_PER_SEC,
-            }
-        )
-    )
+def main():
+    # Back-compat single-process entry (used by tests); prefer watchdog_main.
+    if os.environ.get(_ROLE_ENV) == "child":
+        child_main()
+    else:
+        watchdog_main()
 
 
 if __name__ == "__main__":
-    if int(os.environ.get(_REEXEC_ENV, "0")) > 0:
-        # Re-exec'd after a backend loss: wait (cheaply, in subprocesses)
-        # for the worker to come back before touching jax in-process.
-        _wait_for_backend()
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — re-exec only on backend loss
-        _reexec_on_backend_failure(e)
+    if os.environ.get(_ROLE_ENV) == "child":
+        if int(os.environ.get(_REEXEC_ENV, "0")) > 0:
+            # Re-exec'd after a backend loss: wait (cheaply, in subprocesses)
+            # for the worker to come back before touching jax in-process.
+            _wait_for_backend()
+        try:
+            child_main()
+        except Exception as e:  # noqa: BLE001 — re-exec only on backend loss
+            _reexec_on_backend_failure(e)
+    else:
+        watchdog_main()

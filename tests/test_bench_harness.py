@@ -116,6 +116,133 @@ def test_preempt_skipped_via_env(bench_mod, monkeypatch, tmp_path):
         proc.wait()
 
 
+_FAKE_CHILD_OK = """
+import json, os
+with open(os.environ["BENCH_PROGRESS_FILE"], "a") as f:
+    f.write(json.dumps({"rate": 1.1e9, "window": 0}) + "\\n")
+    f.write(json.dumps({"rate": 1.3e9, "window": 1}) + "\\n")
+"""
+
+_FAKE_CHILD_HANG = """
+import json, os, time
+with open(os.environ["BENCH_PROGRESS_FILE"], "a") as f:
+    f.write(json.dumps({"rate": 9.9e8, "window": 0}) + "\\n")
+    f.flush()
+time.sleep(120)
+"""
+
+_FAKE_CHILD_SILENT_HANG = "import time; time.sleep(120)"
+
+
+def _run_watchdog(bench_mod, tmp_path, child_src, deadline_s):
+    import sys as _sys
+
+    progress = tmp_path / "progress.jsonl"
+    progress.write_text("")
+    return bench_mod._watchdog(
+        [_sys.executable, "-c", child_src], deadline_s, str(progress)
+    )
+
+
+def test_watchdog_clean_finish(bench_mod, tmp_path):
+    value, notes = _run_watchdog(bench_mod, tmp_path, _FAKE_CHILD_OK, 60)
+    assert value == 1.3e9
+    assert notes["windows"] == 2
+    assert "degraded" not in notes and "deadline_hit" not in notes
+
+
+def test_watchdog_reports_best_so_far_on_hang(bench_mod, monkeypatch, tmp_path):
+    # the deadline must convert a hung child into best-so-far, not rc=124
+    monkeypatch.setattr(bench_mod, "_KILL_MARGIN_S", 0.0)
+    value, notes = _run_watchdog(bench_mod, tmp_path, _FAKE_CHILD_HANG, 3)
+    assert value == 9.9e8
+    assert notes["windows"] == 1
+    assert notes["deadline_hit"] is True
+
+
+def test_watchdog_degraded_when_nothing_completed(bench_mod, monkeypatch, tmp_path):
+    monkeypatch.setattr(bench_mod, "_KILL_MARGIN_S", 0.0)
+    value, notes = _run_watchdog(bench_mod, tmp_path, _FAKE_CHILD_SILENT_HANG, 3)
+    assert value == 0.0
+    assert "degraded" in notes
+
+
+def test_watchdog_end_to_end_prints_one_json_line(bench_mod, tmp_path):
+    # full contract: `python bench.py` with a hung MEASURING child still
+    # prints exactly one parseable JSON line on stdout and exits 0
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env[bench_mod._DEADLINE_ENV] = "4"
+    env.pop(bench_mod._ROLE_ENV, None)
+    # make the spawned child hang instead of benchmarking: point the child
+    # role at a sleeping interpreter by running the watchdog directly
+    progress = tmp_path / "p.jsonl"
+    src = (
+        "import sys; sys.path.insert(0, %r); import importlib.util;"
+        "spec = importlib.util.spec_from_file_location('b', %r);"
+        "m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m);"
+        "m._KILL_MARGIN_S = 0.0;"
+        "v, n = m._watchdog([sys.executable, '-c', 'import time; time.sleep(60)'],"
+        " 3, %r); m._emit(v, **n)"
+    ) % (os.path.dirname(_BENCH), _BENCH, str(progress))
+    out = subprocess.run(
+        [_sys.executable, "-c", src],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = _json.loads(lines[0])
+    assert rec["metric"] == bench_mod.METRIC_NAME
+    assert rec["unit"] == "pushes/s"
+    assert "value" in rec and "vs_baseline" in rec
+
+
+def test_best_progress_ignores_malformed_tail(bench_mod, tmp_path):
+    p = tmp_path / "p.jsonl"
+    p.write_text('{"rate": 5.0}\n{"rate": 7.0}\n{"rate": 9')  # torn write
+    best, n = bench_mod._best_progress(str(p))
+    assert best == 7.0
+    assert n == 2
+
+
+def test_child_soft_deadline_helpers(bench_mod, monkeypatch):
+    import time as _time
+
+    monkeypatch.setenv(bench_mod._DEADLINE_TS_ENV, repr(_time.monotonic() + 30))
+    assert bench_mod._out_of_time(60) is True
+    assert bench_mod._out_of_time(10) is False
+    monkeypatch.delenv(bench_mod._DEADLINE_TS_ENV)
+    assert bench_mod._out_of_time(1e9) is False  # no deadline armed
+
+
+def test_probe_budget_capped_by_deadline(bench_mod, monkeypatch):
+    # with 0 s remaining, even a 6 h probe budget must collapse to ~nothing
+    import time as _time
+
+    monkeypatch.setenv(bench_mod._DEADLINE_TS_ENV, repr(_time.monotonic()))
+    monkeypatch.setattr(bench_mod, "_PROBE_SRC", "raise SystemExit(1)")
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    t0 = _time.monotonic()
+    assert bench_mod._wait_for_backend() is False
+    assert _time.monotonic() - t0 < 30
+
+
+def test_reexec_gives_up_when_deadline_close(bench_mod, monkeypatch):
+    import time as _time
+
+    monkeypatch.setenv(bench_mod._REEXEC_ENV, "0")
+    monkeypatch.setenv(bench_mod._DEADLINE_TS_ENV, repr(_time.monotonic() + 5))
+    with pytest.raises(RuntimeError):
+        bench_mod._reexec_on_backend_failure(RuntimeError("UNAVAILABLE: down"))
+
+
 def test_preempt_stops_live_queue(bench_mod, monkeypatch, tmp_path):
     # live runner + live phase group: sentinel written first, both TERMed
     import subprocess
