@@ -143,8 +143,18 @@ def _check_stamp_domain(config: SimConfig) -> None:
     larger mobility-step counts would alias the encoding and corrupt physics
     silently (ADVICE r1) — reject them up front.  Same spirit for the
     draw-protocol knobs: an unknown ``rng_mode`` would otherwise only fail
-    deep inside kernel tracing, and a ``worklog_unroll`` outside {1, 2, 4}
-    would silently run the unroll=1 path."""
+    deep inside kernel tracing, and a ``worklog_unroll`` outside
+    {1, 2, 4, 8} would silently run the unroll=1 path.
+
+    The tile ceiling gets the same treatment: the staged engine
+    (dynamic_old) carries ~15 (sublanes, 128) planes of loop state, so its
+    scoped-VMEM footprint scales with the tile — measured 18.17 MB > the
+    16 MB budget at kernel_sublanes=256 (out/data/kernel_tile_sweep.csv),
+    i.e. a hard Mosaic compile abort.  128 is its measured ceiling; the
+    worklog engine's slimmer carry compiles (and at long T wins) at 256.
+    This is the analog of the reference Naive's shared-memory block cap
+    (64 B x 1024 threads > 48 KB smem, /root/reference/src/test.cu:23) —
+    which the reference also handles by skipping up front."""
     if config.scheduler in ("dynamic", "dynamic_old") and (
         config.poisson_timestep + 2 >= (1 << 15)
     ):
@@ -158,6 +168,14 @@ def _check_stamp_domain(config: SimConfig) -> None:
     if config.worklog_unroll not in (1, 2, 4, 8):
         raise ValueError(
             f"worklog_unroll={config.worklog_unroll} unsupported (1, 2, 4 or 8)"
+        )
+    if config.scheduler == "dynamic_old" and config.kernel_sublanes > 128:
+        raise ValueError(
+            f"kernel_sublanes={config.kernel_sublanes} exceeds the staged "
+            "engine's tile ceiling: its ~15-plane loop carry needs "
+            "18.17 MB of scoped VMEM at 256 sublanes, over the 16 MB "
+            "budget (measured, out/data/kernel_tile_sweep.csv); use "
+            "kernel_sublanes<=128 or scheduler='dynamic'"
         )
 
 

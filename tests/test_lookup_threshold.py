@@ -30,12 +30,12 @@ from particle_simulation_tpu.ops.pallas.push_mcc import (
 )
 
 
-def _mk_table(seed=7, n=10000):
+def _mk_table(seed=7, n=10000, spike=100.0):
     rs = np.random.default_rng(seed)
     t = np.zeros((n, 2), np.float32)
     t[:, 0] = rs.uniform(0, 0.3, n)
     t[:, 1] = rs.uniform(0, 0.7, n)
-    t[::131, 0] = 100.0
+    t[::131, 0] = spike
     t[::97, 1] = 0.0
     return jnp.asarray(t)
 
@@ -68,9 +68,29 @@ def test_polythresh_cand_gate_preserves_outcomes(hits):
     """lookup_cand_gate: non-candidate lanes (p24 >= global max total
     threshold) are dropped from the fallback set — outcomes must be
     identical.  The random table fits no chunk, so WITHOUT the gate every
-    non-chunk-0 lane is NaN-undecided; the gate must decide exactly the
-    never-collide ones and route the rest to the same exact fallback."""
-    _check_lookup_outcomes("polythresh", hits, cand_gate=True)
+    non-chunk-0 lane is NaN-undecided; with it, only live candidates fall
+    back.  The default _mk_table's 100.0 spikes push the global max total
+    threshold to exactly 2^24, which makes p24 < pmax vacuously true and
+    the gate a no-op — so this test caps the table at 60.0 (pmax ≈
+    0.6·2^24), asserts a healthy fraction of lanes is really excluded,
+    and pins one lane to p24 == pmax exactly (the >= boundary of the
+    gate compare itself)."""
+    table = _mk_table(spike=60.0)
+    aux_np = np.asarray(pack_poly_thresholds(table))
+    pmax = int(aux_np[4 + 3][0])  # row degree+3: global max total threshold
+    assert pmax < (1 << 24), "gate would be vacuous (table total >= 100)"
+
+    def patch(bits, idx):
+        # one whole row exactly ON the gate boundary: p24 == pmax must be
+        # excluded (>=) and still produce the exact no-event outcome
+        bits[7] = (np.uint32(pmax) << np.uint32(8)) | (bits[7] & np.uint32(0xFF))
+        p24 = bits >> np.uint32(8)
+        excluded = (p24.astype(np.int64) >= pmax).mean()
+        assert excluded > 0.1, f"gate never active ({excluded:.0%} excluded)"
+        return bits
+
+    _check_lookup_outcomes("polythresh", hits, cand_gate=True, table=table,
+                           patch_bits=patch)
 
 
 @pytest.mark.parametrize("mode", ["staticthresh", "staticthresh_m"])
@@ -82,8 +102,10 @@ def test_tail_waves_preserve_outcomes(mode, waves):
     _check_lookup_outcomes(mode, hits=False, tail_waves=waves)
 
 
-def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False):
-    table = _mk_table()
+def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False,
+                           table=None, patch_bits=None):
+    if table is None:
+        table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
         pack_threshold_full(table)
@@ -117,6 +139,8 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False):
     force_t = ~force_s & (rs.random(shape) < 0.33)
     bits = np.where(force_s, (ts8 << 16).astype(np.uint32) | (bits & 0xFFFF), bits)
     bits = np.where(force_t, (tt8 << 16).astype(np.uint32) | (bits & 0xFFFF), bits)
+    if patch_bits is not None:
+        bits = patch_bits(bits, idx)
     u = np.asarray(rng.uniform_from_bits(jnp.asarray(bits), 0.0, 100.0))
 
     band = ()

@@ -261,3 +261,19 @@ def test_worklog_rejects_oversized_timestep(const_table):
     state = setup_particles(cfg)
     with pytest.raises(ValueError, match="stamp domain"):
         poisson_step(state, jnp.uint32(0), const_table, cfg)
+
+
+def test_staged_engine_rejects_oversized_tile(const_table):
+    """The staged engine's tile ceiling (scoped VMEM 18.17M > 16M at 256
+    sublanes, out/data/kernel_tile_sweep.csv) must fail as a one-line
+    pre-flight ValueError, not a Mosaic compile abort (VERDICT r3 weak #5);
+    the worklog engine compiles at 256 and must NOT be rejected."""
+    cfg = BASE.replace(scheduler="dynamic_old", kernel_sublanes=256)
+    state = setup_particles(cfg)
+    with pytest.raises(ValueError, match="tile ceiling"):
+        poisson_step(state, jnp.uint32(0), const_table, cfg)
+    # the worklog engine's slimmer carry is allowed through
+    cfg_ok = BASE.replace(scheduler="dynamic", kernel_sublanes=256)
+    from particle_simulation_tpu.ops.step import _check_stamp_domain
+
+    _check_stamp_domain(cfg_ok)  # must not raise
