@@ -253,7 +253,13 @@ def run_benchmark(
         row_ckpt = None
         if (
             cfg.scheduler != "dynamic"
-            and cfg.poisson_timestep >= 300
+            and (
+                cfg.poisson_timestep >= 300
+                # sync rows are multi-hundred-second from T=200 up (the
+                # generation fixed point re-simulates ranges): snapshot
+                # them too so a worker fault costs one step, not the row
+                or (cfg.scheduler == "sync" and cfg.poisson_timestep >= 200)
+            )
             and reps_want == 1
         ):
             row_ckpt = os.path.join(

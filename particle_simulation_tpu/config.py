@@ -129,7 +129,11 @@ class SimConfig:
     # on steps where their draw is a live candidate (a max(split+remove)
     # = ~10% fraction for the bundled sine table).  One scalar compare +
     # and per step; attacks the late-window fallback-trip cost.
-    lookup_cand_gate: bool = False
+    # Default flipped ON after the r4a chip A/B (2026-08-20): 1.286e9 vs
+    # base 1.265e9 best window, and BETTER at every window — the late
+    # windows gain most (1.13 vs 1.06, 0.99 vs 0.92: +7-8%), confirming
+    # the fallback-trip attribution; final_n bit-exact.
+    lookup_cand_gate: bool = True
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried
@@ -188,6 +192,15 @@ class SimConfig:
     # (9.45 vs 11.24 ms standalone) and lifts the engine A/B to 1.126e9
     # pushes/s (base 1.114).  int8 one-hots and tile_p changes: no win.
     bbox_hist_lanes: int = 256
+    # Live-prefix chunking for the field phase (ops/grid.py): the deposit
+    # histogram and the packed-diff gather run over the whole working
+    # prefix w, but compaction keeps every live particle in [0, n) and at
+    # the bench point n is only ~35-50% of w — splitting the particle axis
+    # into this many chunks and lax.cond-skipping chunks past n skips the
+    # dead majority's MXU tiles and gather rows.  Bit-exact for any value
+    # (skipped lanes are dead, whose deposit weight is 0 and whose gathered
+    # acc is masked to 0 anyway; tests/test_grid.py).  0 disables.
+    grid_live_chunks: int = 0
     # Multi-chip field-phase strategy (parallel/sharded.py): "replicated"
     # psums the per-shard deposit grid; "slab" shards the bbox subgrid into
     # x-slabs (psum_scatter + ppermute halo exchange + all_gather rows) —

@@ -206,7 +206,7 @@ def live_bbox(idx, weight, grid_size):
     return lo, hi
 
 
-def _mxu_histogram(flat, num_cells, tile_p=1024, lanes=128):
+def _mxu_histogram(flat, num_cells, tile_p=1024, lanes=128, n_live=None):
     """Histogram of ``flat`` ids (invalid entries = -1) over [0, num_cells),
     num_cells a multiple of ``lanes`` (a power of two), via per-tile one-hot
     matmuls with a (num_cells/lanes, lanes) factorization.
@@ -221,6 +221,11 @@ def _mxu_histogram(flat, num_cells, tile_p=1024, lanes=128):
     split R = lanes = sqrt(num_cells) — while the MAC count (n * num_cells)
     is factorization-invariant.  At 64^3 the square 512x512 split builds
     1024 elems/particle vs 2176 for 2048x128 and gives the MXU N=512.
+
+    ``n_live`` (traced scalar, optional): every id at slot >= n_live is
+    known dead (-1); tiles whose start lies past it lax.cond-skip their
+    one-hot build + matmul entirely.  Bit-exact — a skipped tile's ids are
+    all -1, which contribute nothing in the dense path either.
     """
     R = num_cells // lanes
     shift = lanes.bit_length() - 1
@@ -231,36 +236,68 @@ def _mxu_histogram(flat, num_cells, tile_p=1024, lanes=128):
     pad = groups * group * tile_p - n
     fp = jnp.concatenate([flat, jnp.full((pad,), -1, jnp.int32)])
     tiled = fp.reshape(groups, group, tile_p)
+    starts = (
+        jnp.arange(groups * group, dtype=jnp.int32) * tile_p
+    ).reshape(groups, group)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
 
-    def tile_body(acc_f32, ids):
-        row = (ids >> shift)[:, None]
-        lane = (ids & (lanes - 1))[:, None]
-        oh_r = (row == iota_r).astype(jnp.bfloat16)   # (P, R)
-        oh_l = (lane == iota_l).astype(jnp.bfloat16)  # (P, lanes)
-        return (
-            acc_f32
-            + jax.lax.dot_general(
+    def tile_body(acc_f32, xs):
+        ids, start = xs
+
+        def dense(acc):
+            row = (ids >> shift)[:, None]
+            lane = (ids & (lanes - 1))[:, None]
+            oh_r = (row == iota_r).astype(jnp.bfloat16)   # (P, R)
+            oh_l = (lane == iota_l).astype(jnp.bfloat16)  # (P, lanes)
+            return acc + jax.lax.dot_general(
                 oh_r, oh_l, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ),
+            )
+
+        if n_live is None:
+            return dense(acc_f32), None
+        return (
+            jax.lax.cond(start < n_live, dense, lambda acc: acc, acc_f32),
             None,
         )
 
-    def group_body(acc_i32, group_tiles):
+    def group_body(acc_i32, xs):
         acc_f32, _ = jax.lax.scan(
-            tile_body, jnp.zeros((R, lanes), jnp.float32), group_tiles
+            tile_body, jnp.zeros((R, lanes), jnp.float32), xs
         )
         return acc_i32 + acc_f32.astype(jnp.int32), None
 
     counts, _ = jax.lax.scan(
-        group_body, jnp.zeros((R, lanes), jnp.int32), tiled
+        group_body, jnp.zeros((R, lanes), jnp.int32), (tiled, starts)
     )
     return counts.reshape(-1)
 
 
-def _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight):
+def _chunked_fetch(fetch, safe, n_live, chunks):
+    """Run ``fetch(idx_slice) -> (k, 3) f32`` over ``safe`` split into
+    ``chunks`` particle-axis chunks, lax.cond-skipping chunks whose start
+    lies past ``n_live`` (their lanes are all dead: the caller masks their
+    acc to 0 regardless, so zeros are bit-exact)."""
+    w = safe.shape[0]
+    if not chunks or chunks <= 1 or n_live is None or w < 2 * chunks:
+        return fetch(safe)
+    ck = -(-w // chunks)
+    outs = []
+    for i in range(0, w, ck):
+        part = safe[i : i + ck]
+        outs.append(
+            jax.lax.cond(
+                jnp.int32(i) < n_live,
+                lambda p=part: fetch(p),
+                lambda p=part: jnp.zeros((p.shape[0], 3), jnp.float32),
+            )
+        )
+    return jnp.concatenate(outs)
+
+
+def _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight,
+                          n_live=None, live_chunks=0):
     """Field values from subgrid counts: packed-diff build + one gather.
     Bit-identical to the full-grid packdiff path restricted to the bbox
     (missing neighbours are 0 either way — empty cells and out-of-grid
@@ -280,29 +317,38 @@ def _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight):
             | ((dy + _PACK_BIAS) << 10)
             | (dz + _PACK_BIAS)
         ).reshape(-1)
-        v = packed.at[safe].get(mode="promise_in_bounds")
-        mask = (1 << 10) - 1
-        d3 = jnp.stack(
-            [(v >> 20) - _PACK_BIAS,
-             ((v >> 10) & mask) - _PACK_BIAS,
-             (v & mask) - _PACK_BIAS],
-            axis=1,
-        )
-        return d3.astype(jnp.float32) * jnp.float32(e_const)
+
+        def fetch(idx_part):
+            v = packed.at[idx_part].get(mode="promise_in_bounds")
+            mask = (1 << 10) - 1
+            d3 = jnp.stack(
+                [(v >> 20) - _PACK_BIAS,
+                 ((v >> 10) & mask) - _PACK_BIAS,
+                 (v & mask) - _PACK_BIAS],
+                axis=1,
+            )
+            return d3.astype(jnp.float32) * jnp.float32(e_const)
+
+        return _chunked_fetch(fetch, safe, n_live, live_chunks)
 
     def rows_path(_):
         acc_grid = (
             jnp.stack([dx, dy, dz], axis=-1).reshape(-1, 3).astype(jnp.float32)
             * jnp.float32(e_const)
         )
-        return acc_grid.at[safe].get(mode="promise_in_bounds")
+
+        def fetch(idx_part):
+            return acc_grid.at[idx_part].get(mode="promise_in_bounds")
+
+        return _chunked_fetch(fetch, safe, n_live, live_chunks)
 
     acc = jax.lax.cond(fits, packed_path, rows_path, 0)
     return jnp.where(weight[:, None] > 0, acc, 0.0)
 
 
 def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
-                            subgrid=64, tile_p=1024, hist_lanes=128):
+                            subgrid=64, tile_p=1024, hist_lanes=128,
+                            n_live=None, live_chunks=0):
     """Full field phase (deposit + stencil + gather) on a bbox subgrid when
     the live population fits an S^3 window; falls back to the full-grid
     scatter + packdiff path (bit-identical values) otherwise.
@@ -310,6 +356,12 @@ def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
     Replaces the reference's resetGrid/particlesToGrid/updateGrid/
     gridToParticles sequence (src/grid_operations.cu) for the production
     f32 path.
+
+    ``n_live``/``live_chunks``: optional live-prefix chunking — compaction
+    keeps live particles in slots [0, n_live), so deposit tiles and gather
+    chunks past it are skipped (SimConfig.grid_live_chunks).  Bit-exact:
+    every skipped lane is dead (weight 0), contributing nothing to the
+    histogram and having its acc masked to 0 on every path.
     """
     S = subgrid
     assert (S * S * S) % 128 == 0, "subgrid edge must be a multiple of 8"
@@ -327,9 +379,13 @@ def bbox_field_acceleration(pos, weight, cell_size, grid_size, e_const,
         flat_sub = (rel[:, 0] * S + rel[:, 1]) * S + rel[:, 2]
         flat_sub = jnp.where(weight > 0, flat_sub, -1)
         counts = _mxu_histogram(
-            flat_sub, S * S * S, tile_p=tile_p, lanes=hist_lanes
+            flat_sub, S * S * S, tile_p=tile_p, lanes=hist_lanes,
+            n_live=n_live,
         )
-        return _subgrid_packdiff_acc(flat_sub, counts, S, e_const, weight)
+        return _subgrid_packdiff_acc(
+            flat_sub, counts, S, e_const, weight,
+            n_live=n_live, live_chunks=live_chunks,
+        )
 
     def full_path(_):
         charge = deposit(pos, weight, cell_size, grid_size)

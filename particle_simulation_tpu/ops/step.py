@@ -87,6 +87,12 @@ def grid_phase(state: SimState, config: SimConfig) -> SimState:
             state.pos, weight, config.cell_size, config.grid_size,
             config.electric_force_constant, subgrid=config.bbox_subgrid,
             hist_lanes=config.bbox_hist_lanes,
+            # live-prefix chunking (grid_live_chunks > 0): skip deposit
+            # tiles and gather chunks past n — every live particle sits in
+            # the compacted prefix [0, n), so the skipped lanes are dead
+            # and contribute nothing on any path (bit-exact).
+            n_live=(state.n_clamped if config.grid_live_chunks else None),
+            live_chunks=config.grid_live_chunks,
         )
         return state._replace(acc=acc)
     charge = grid_ops.deposit(state.pos, weight, config.cell_size, config.grid_size)

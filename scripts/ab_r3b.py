@@ -209,12 +209,39 @@ VARIANTS = {
     # late-window dominator.
     "cgate": {"lookup_cand_gate": True},
     "cgate+u8": {"lookup_cand_gate": True, "worklog_unroll": 8},
+    # round-4: live-prefix chunked grid phase (EXACT) — deposit tiles and
+    # gather chunks past the compacted prefix n are lax.cond-skipped; at
+    # the settled 2M bucket with ~0.7-1M live, roughly half the grid
+    # phase's MXU tiles and gather rows are dead weight (grid phase =
+    # 17.3 ms of the 57.7 ms step, STATUS.md anatomy).
+    "gchunk": {"grid_live_chunks": 16},
+    "gchunk8": {"grid_live_chunks": 8},
+    "gchunk32": {"grid_live_chunks": 32},
 }
+
+
+def _bucket_hint():
+    """Start every variant at the bucket the headline bench settled at
+    (out/data/bench_bucket_hint.json, written by bench.py): the climb from
+    the natural first bucket costs two extra ~minutes compiles per variant
+    through the remote-compile tunnel and lands at the same place."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "out", "data", "bench_bucket_hint.json",
+    )
+    try:
+        with open(path) as f:
+            return int(json.load(f)["w"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return 0
 
 
 def run_variant(name, overrides, table):
     config = BASE.replace(**overrides)
-    w = _bucket_size(config.init_n, config.capacity)
+    w = max(_bucket_size(config.init_n, config.capacity),
+            min(_bucket_hint(), config.capacity))
     full = setup_particles(config)
     while True:
         state = _slice_state(full, w) if w < config.capacity else full
