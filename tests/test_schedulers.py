@@ -21,7 +21,10 @@ CFG = SimConfig(
 )
 
 
-@pytest.mark.parametrize("sched", ["naive", "dynamic_old"])
+@pytest.mark.parametrize(
+    "sched",
+    ["naive", pytest.param("dynamic_old", marks=pytest.mark.slow)],
+)
 def test_cadence_equivalence(sched):
     base = run_pic(CFG.replace(scheduler="sync"), print_header=False)
     other = run_pic(CFG.replace(scheduler=sched), print_header=False)

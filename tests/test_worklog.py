@@ -62,10 +62,18 @@ BASE = SimConfig(
         ),
         # the guarded static lookup skips statically unrolled chunk visits
         # by a per-step band cond — must stay bit-exact vs the oracle
-        BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
+        # (r4 suite split: non-default lookup modes run in the slow lane;
+        # the default lane keeps d2 + the polythresh default engine)
+        pytest.param(
+            BASE.replace(lookup_mode="staticguard", lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         # merged tail (r3f flip candidate): escapees join the exact tie
         # sweep; low static_chunks forces many escapees through it
-        BASE.replace(lookup_mode="staticthresh_m", lookup_static_chunks=3),
+        pytest.param(
+            BASE.replace(lookup_mode="staticthresh_m", lookup_static_chunks=3),
+            marks=pytest.mark.slow,
+        ),
         pytest.param(
             BASE.replace(lookup_mode="staticthresh_m", lookup_hits=True,
                          lookup_static_chunks=3),
@@ -165,18 +173,19 @@ BASE = SimConfig(
             BASE.replace(lookup_mode="polythresh", lookup_poly_degree=5),
             marks=pytest.mark.slow,
         ),
-        # candidate gate: non-candidate lanes dropped from the fallback
-        # set — the 50/50 const table makes every lane a candidate (bound
-        # = 2^24), so the gate must be a provable no-op here; the sine
-        # table growth test below exercises the active gate
-        pytest.param(
-            BASE.replace(lookup_mode="polythresh", lookup_cand_gate=True),
-            marks=pytest.mark.slow,
-        ),
+        # candidate gate (the r4 default engine): non-candidate lanes
+        # dropped from the fallback set — the 50/50 const table makes
+        # every lane a candidate (bound = 2^24), so the gate must be a
+        # provable no-op here; the sine table growth test below exercises
+        # the active gate
+        BASE.replace(lookup_mode="polythresh", lookup_cand_gate=True),
         # spawn-guard: the child-staging select+store block runs under a
         # per-step any(spawn) branch — skipped stores must never be ones a
         # spawn needed, so the multiset must stay bit-exact
-        BASE.replace(worklog_spawn_guard=True),
+        pytest.param(
+            BASE.replace(worklog_spawn_guard=True),
+            marks=pytest.mark.slow,
+        ),
         # spawn-guard x suspension: depth is read inside the guarded block;
         # d1 forces suspend/resume churn around the guarded stores
         pytest.param(
@@ -204,7 +213,7 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
 
 @pytest.mark.parametrize(
     "lookup_mode,cand_gate",
-    [("staticthresh", False),
+    [pytest.param("staticthresh", False, marks=pytest.mark.slow),
      # realistic fits: the sine table's fitted prefix decides most lanes,
      # margin/escapee lanes exercise the fallback inside the engine
      pytest.param("polythresh", False, marks=pytest.mark.slow),
