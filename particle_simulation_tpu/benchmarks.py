@@ -244,6 +244,16 @@ def run_benchmark(
             if cfg.scheduler == "dynamic_old" and cfg.poisson_timestep >= 300
             else 0
         )
+        # And for sync's generation-1 dispatch: T >= 200 makes it a
+        # multi-minute single dispatch (crashed 2-for-2 on the first T=200
+        # recording attempt); ~25-step spans match the ~10 s dispatch
+        # shape that cleared the naive tails.  Bit-exact (traced-bound
+        # span-split of the same compiled loop, ops/step.py).
+        sspan = (
+            25
+            if cfg.scheduler == "sync" and cfg.poisson_timestep >= 200
+            else 0
+        )
         # Crash-resumable rows (run_pic_device row_ckpt): the multi-minute
         # tail rows otherwise restart from Poisson step 0 on every worker
         # fault — with a per-step snapshot a fault costs one step, so the
@@ -281,6 +291,7 @@ def run_benchmark(
                 w_start=hints.get(cfg.scheduler, 0),
                 naive_chunk=nchunk,
                 staged_chunk=schunk,
+                sync_span=sspan,
             )
             warm.state = None
             hints[cfg.scheduler] = max(
@@ -304,6 +315,7 @@ def run_benchmark(
                     w_start=hints.get(cfg.scheduler, 0),
                     naive_chunk=nchunk,
                     staged_chunk=schunk,
+                    sync_span=sspan,
                     row_ckpt=row_ckpt,
                 )
                 wall = time.perf_counter() - t0

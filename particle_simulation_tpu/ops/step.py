@@ -267,16 +267,19 @@ def _sync_grid_jit(state: SimState, config: SimConfig):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _sync_generation_jit(
-    state: SimState, poisson_index, table, t_steps, gen_lo, lo, hi,
+    state: SimState, poisson_index, table, t_lo, t_hi, gen_lo, gen_hi, lo, hi,
     config: SimConfig,
 ):
-    """One generation of the CPU Sync fixed point: simulate slots in
-    [gen_lo, n_clamped) through mobility steps 1..t_steps.  All loop
-    variables are traced, so ONE compilation serves every generation of
-    every Poisson step at every T."""
+    """One generation SPAN of the CPU Sync fixed point: simulate slots in
+    [gen_lo, gen_hi) through mobility steps [t_lo, t_hi).  All loop
+    variables are traced, so ONE compilation serves every span of every
+    generation of every Poisson step at every T.  Span-splitting a
+    fori_loop at the host boundary is bit-exact: the loop body is the same
+    compiled program and the carried state round-trips HBM unchanged.
+    ``gen_hi`` is pinned by the caller at generation start — children
+    appended by earlier spans must NOT join the active range mid-generation
+    (they belong to the next generation of the fixed point)."""
     from ..schedulers import _one_step, _push_add
-
-    gen_hi = state.n_clamped
 
     def body(t, c):
         st, l_, h_ = c
@@ -284,13 +287,13 @@ def _sync_generation_jit(
         l_, h_ = _push_add(l_, h_, dp)
         return st, l_, h_
 
-    state, lo, hi = jax.lax.fori_loop(1, t_steps + 1, body, (state, lo, hi))
+    state, lo, hi = jax.lax.fori_loop(t_lo, t_hi, body, (state, lo, hi))
     return state, lo, hi
 
 
 @functools.partial(jax.jit, static_argnames=("config", "w"))
 def _sync_generation_slice_jit(
-    state: SimState, poisson_index, table, t_steps, gen_lo, gen_len, lo, hi,
+    state: SimState, poisson_index, table, t_lo, t_hi, gen_lo, gen_len, lo, hi,
     config: SimConfig, w: int,
 ):
     """A generation restricted to the TAIL SLICE [gen_lo, gen_lo + w) of the
@@ -322,7 +325,7 @@ def _sync_generation_slice_jit(
         l_, h_ = _push_add(l_, h_, dp)
         return s, l_, h_
 
-    sub, lo, hi = jax.lax.fori_loop(1, t_steps + 1, body, (sub, lo, hi))
+    sub, lo, hi = jax.lax.fori_loop(t_lo, t_hi, body, (sub, lo, hi))
 
     def upd(full, part):
         return jax.lax.dynamic_update_slice_in_dim(full, part, gen_lo, axis=0)
@@ -490,7 +493,7 @@ def _sync_finalize_jit(
 
 def poisson_step_sync_host(
     state: SimState, poisson_index, table, config: SimConfig,
-    stop_on_overflow: bool = True,
+    stop_on_overflow: bool = True, span: int = 0,
 ) -> Tuple[SimState, dict]:
     """One CPU Sync Poisson step with the generation fixed point run as a
     HOST loop — one bounded dispatch per generation — instead of the in-jit
@@ -518,12 +521,29 @@ def poisson_step_sync_host(
     retry and the in-jit while_loop still consumes every generation within
     the clamped container (mobility_phase_sync: while n_clamped > gen_lo),
     so the caller passes False and this loop does the same.
+
+    ``span`` (mobility steps per dispatch, 0 = whole phase): generation 1
+    at canonical scale is a single ~T-proportional dispatch (~7 min at
+    T=200), squarely in the intermittent worker fault's kill zone
+    (WORKER_FAULT.md: incidence grows with single-dispatch runtime; the
+    T=200 canonical row crashed twice in a row mid-generation-1).
+    Span-splitting the generation's fori at the host boundary bounds every
+    dispatch to ~span mobility steps.  Bit-exact AND compile-free: the
+    span bounds are traced scalars to the same compiled loop, so splitting
+    only round-trips the carried state through HBM — the per-iteration
+    math is the identical program.  Children appended by earlier spans do
+    not join the active range (gen_hi is pinned at generation start,
+    exactly the fixed point's partitioning).
     """
     from ..runtime import _bucket_size
 
     cfg = _step_config(config)
     C = state.capacity
-    t_steps = jnp.asarray(config.poisson_timestep, jnp.int32)
+    T = int(config.poisson_timestep)
+    if span and span > 0:
+        t_spans = [(a, min(a + span, T + 1)) for a in range(1, T + 1, span)]
+    else:
+        t_spans = [(1, T + 1)]
     state = _sync_grid_jit(state, cfg)
     n_start = state.n_clamped
     zero = jnp.zeros((), jnp.int32)
@@ -541,18 +561,27 @@ def poisson_step_sync_host(
         # clamped (non-ladder) bucket would mint a unique compilation per
         # gen_lo — fall back to the whole-array program instead.
         w = _bucket_size(gen_len, room) if gen_lo > 0 else C
+        gl = jnp.asarray(gen_lo, jnp.int32)
         while True:
             if w >= room:
-                state, lo, hi = _sync_generation_jit(
-                    state, poisson_index, table, t_steps,
-                    jnp.asarray(gen_lo, jnp.int32), lo, hi, cfg,
-                )
+                gh = jnp.asarray(n_live, jnp.int32)
+                for a, b in t_spans:
+                    state, lo, hi = _sync_generation_jit(
+                        state, poisson_index, table,
+                        jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32),
+                        gl, gh, lo, hi, cfg,
+                    )
                 break
-            st2, lo2, hi2 = _sync_generation_slice_jit(
-                state, poisson_index, table, t_steps,
-                jnp.asarray(gen_lo, jnp.int32),
-                jnp.asarray(gen_len, jnp.int32), lo, hi, cfg, w,
-            )
+            # slice path: spans chain on st2 WITHOUT readbacks; a slice
+            # overflow is detected at generation end (append drops count
+            # into n) and redone from the pre-generation ``state``
+            st2, lo2, hi2 = state, lo, hi
+            for a, b in t_spans:
+                st2, lo2, hi2 = _sync_generation_slice_jit(
+                    st2, poisson_index, table,
+                    jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32),
+                    gl, jnp.asarray(gen_len, jnp.int32), lo2, hi2, cfg, w,
+                )
             n2 = int(st2.n)
             if n2 - gen_lo > w:
                 # children overflowed the slice window: exact redo on a

@@ -319,6 +319,7 @@ def run_pic_device(
     sync_host: bool = True,
     naive_chunk: int = 0,
     staged_chunk: int = 0,
+    sync_span: int = 0,
     row_ckpt: Optional[str] = None,
 ) -> RunData:
     """Device-resident run_pic for sweeps/benchmarks: Poisson steps run in
@@ -411,9 +412,14 @@ def run_pic_device(
                 # docstrings in ops/step.py)
                 retried = w < config.capacity
                 if use_sync_host:
+                    # sync_span bounds each generation dispatch to that many
+                    # mobility steps (bit-exact span-split of the same
+                    # compiled loop) — generation 1 at canonical T >= 200 is
+                    # otherwise a multi-minute dispatch in the worker
+                    # fault's kill zone (WORKER_FAULT.md)
                     final, m1 = poisson_step_sync_host(
                         part, jnp.uint32(done), table, cfg_w,
-                        stop_on_overflow=retried,
+                        stop_on_overflow=retried, span=sync_span,
                     )
                 elif use_staged_host:
                     final, m1 = poisson_step_staged_host(

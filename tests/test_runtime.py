@@ -296,6 +296,40 @@ def test_sync_host_generations_bit_exact():
     )
 
 
+def test_sync_host_span_split_bit_exact():
+    """sync_span splits each generation's T-loop into bounded host
+    dispatches (the worker-fault mitigation for the canonical T>=200 sync
+    rows): results must be IDENTICAL to the unsplit host path — the span
+    bounds are traced scalars into the same compiled fori_loop, so the
+    split only round-trips the carry through HBM.  span=3 with T=7 forces
+    a ragged final span; the churny table forces multiple generations
+    (spawns) plus slice-window retries under the tiny bucket floor."""
+    import numpy as np
+
+    import particle_simulation_tpu.runtime as rt
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import run_pic_device, sorted_particle_array
+
+    cfg = SimConfig(
+        init_n=300, capacity=60_000, poisson_steps=2, poisson_timestep=7,
+        grid_size=(32, 32, 32), scheduler="sync",
+        cross_section_path=bundled_paths()[1],  # heavy churn -> growth
+    )
+    orig = rt._bucket_size
+    rt._bucket_size = lambda n, capacity, floor=512: orig(n, capacity, floor)
+    try:
+        whole = run_pic_device(cfg, sync_host=True)
+        spanned = run_pic_device(cfg, sync_host=True, sync_span=3)
+    finally:
+        rt._bucket_size = orig
+    assert spanned.final_n == whole.final_n
+    assert [m.n for m in spanned.steps] == [m.n for m in whole.steps]
+    assert [m.pushes for m in spanned.steps] == [m.pushes for m in whole.steps]
+    np.testing.assert_array_equal(
+        sorted_particle_array(whole.state), sorted_particle_array(spanned.state)
+    )
+
+
 def test_auto_bucket_bit_exact():
     """Bucketed execution (power-of-2 working prefixes + overflow retry)
     must reproduce the full-capacity run exactly, including forced bucket
