@@ -134,6 +134,19 @@ class SimConfig:
     # windows gain most (1.13 vs 1.06, 0.99 vs 0.92: +7-8%), confirming
     # the fallback-trip attribution; final_n bit-exact.
     lookup_cand_gate: bool = True
+    # Pack the two higher-power polythresh coefficients (bf16-rounded at
+    # pack time) as 16-bit halves of one i32 row: 4 table-aux gathers per
+    # step instead of 5 (the r4 probe ladder prices the poly path's
+    # gathers at ~37% of the spill-bound loop).  EXACT for any table —
+    # margins are measured against the same rounded evaluation the kernel
+    # reconstructs; the rounding only widens the measured margins (sine
+    # table: delta_t 567 -> 922, still ~0.006% of the 24-bit domain).
+    # degree 2 only.  Default flipped ON after the r4d chip A/B
+    # (2026-08-20, twice): 1.322e9 (reproduced to 4 digits) vs base
+    # 1.284-1.298e9, better at EVERY window incl. late ones — the first
+    # exact engine past the old st_floor2 probe ceiling (1.31e9);
+    # final_n bit-exact.
+    lookup_poly_pack: bool = True
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

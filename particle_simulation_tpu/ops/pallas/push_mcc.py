@@ -138,7 +138,8 @@ def _wave_loop(start, stop, visit, acc, waves):
 
 
 def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
-                        tail_waves=0, poly_degree=4, cand_gate=False):
+                        tail_waves=0, poly_degree=4, cand_gate=False,
+                        poly_pack=False):
     """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -238,20 +239,28 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             # 16-bit margins (i32); degree+2: chunk 0's exact f32 threshold
             # row.  Storage is i32 bit-patterns (gathers must never
             # canonicalize a NaN payload); the f32 rows bitcast back here,
-            # once.
+            # once.  With poly_pack (degree 2) the layout shrinks: row 0 =
+            # both high-power coefficients as 16-bit halves (kept i32 —
+            # unpacked per gather), row 1 = a0 (f32), row 2 = margins,
+            # row 3 = chunk-0 exact row, row 4 = candidate bound.
+            n_coef_rows = 2 if poly_pack else poly_degree + 1
+            f32_rows = (
+                {1, 3} if poly_pack
+                else set(range(poly_degree + 1)) | {poly_degree + 2}
+            )
             rows = []
-            for r in range(poly_degree + 3):
+            for r in range(n_coef_rows + 2):
                 p = jnp.broadcast_to(aux_ref[r, :][None, :], shape)
-                if r != poly_degree + 1:
+                if r in f32_rows:
                     p = jax.lax.bitcast_convert_type(p, jnp.float32)
                 rows.append(p)
             if cand_gate:
-                # the candidate bound (row degree+3, every lane equal) is
+                # the candidate bound (last row, every lane equal) is
                 # hoisted as a (1, L) i32 row — the per-step integer
                 # compare broadcasts it across sublanes (a scalar load +
                 # bitcast would be cheaper still, but Mosaic rejects
                 # scalar tpu.bitcast and scalar VMEM reads are unproven)
-                rows.append(aux_ref[poly_degree + 3, :][None, :])
+                rows.append(aux_ref[n_coef_rows + 2, :][None, :])
             return tuple(rows)
         K = min(static_chunks, n_chunks - 1)
         if mode in ("staticfull", "staticfull2"):
@@ -469,15 +478,35 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 )
 
             xs = (lo.astype(jnp.float32) - 63.5) * jnp.float32(1.0 / 63.5)
-            val = jnp.take_along_axis(row(0, True), hi, axis=1)
-            for k in range(1, d + 1):
-                val = val * xs + jnp.take_along_axis(row(k, True), hi, axis=1)
+            if poly_pack:
+                # ONE gather fetches both high-power coefficients as
+                # 16-bit halves; widening a bf16 half = its f32 bits with
+                # a zero low half, so mask/shift + bitcast reconstruct
+                # exactly the values the margins were measured against
+                # (pack_poly_thresholds pack_bf16).  NaN chunks widen
+                # back to NaN and poison the Horner value as before.
+                pk = jnp.take_along_axis(row(0, False), hi, axis=1)
+                c2 = jax.lax.bitcast_convert_type(
+                    pk & jnp.int32(-65536), jnp.float32
+                )
+                c1 = jax.lax.bitcast_convert_type(pk << 16, jnp.float32)
+                val = (c2 * xs + c1) * xs + jnp.take_along_axis(
+                    row(1, True), hi, axis=1
+                )
+                mg_row, e0_row = 2, 3
+            else:
+                val = jnp.take_along_axis(row(0, True), hi, axis=1)
+                for k in range(1, d + 1):
+                    val = val * xs + jnp.take_along_axis(
+                        row(k, True), hi, axis=1
+                    )
+                mg_row, e0_row = d + 1, d + 2
             # chunk 0 folds into the same value/margin protocol via one
             # exact-row gather + one select (its margins are ~pad-sized)
-            e0 = jnp.take_along_axis(row(d + 2, True), lo, axis=1)
+            e0 = jnp.take_along_axis(row(e0_row, True), lo, axis=1)
             val = jnp.where(hi == 0, e0, val)
             # per-chunk packed margins: one gather, two 16-bit unpacks
-            mg = jnp.take_along_axis(row(d + 1, False), hi, axis=1)
+            mg = jnp.take_along_axis(row(mg_row, False), hi, axis=1)
             dls = ((mg >> 16) & 0xFFFF).astype(jnp.float32)
             dlt = (mg & 0xFFFF).astype(jnp.float32)
             p24f = jax.lax.bitcast_convert_type(
@@ -508,10 +537,11 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 # fraction of steps where their draw is a live candidate.
                 # One compare + one and per step buys a ~1/p_max cut in
                 # fallback trips (the late-window dominator).
+                gate_row = 4 if poly_pack else d + 3
                 if prep is not None:
-                    pmax = prep[d + 3]
+                    pmax = prep[gate_row]
                 else:
-                    pmax = aux_ref[d + 3, :][None, :]
+                    pmax = aux_ref[gate_row, :][None, :]
                 p24i = jax.lax.bitcast_convert_type(
                     jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
                 )
@@ -761,7 +791,7 @@ _POLY_ERR_CAP = 1024.0
 _POLY_PAD = 8.0
 
 
-def pack_poly_thresholds(table, degree=4):
+def pack_poly_thresholds(table, degree=4, pack_bf16=False):
     """(n, 2) chance table -> (8-padded degree+4, 128) i32 pack for the
     ``polythresh`` lookup: a per-chunk least-squares polynomial fit of the
     EXACT 24-bit split threshold T(split) (see _exact_threshold) replaces
@@ -814,6 +844,19 @@ def pack_poly_thresholds(table, degree=4):
     solve uses a STATIC f64 pseudoinverse of the shared Vandermonde basis
     (numpy, trace-time constant) — the only f32 step is one (chunks, 128)
     x (128, degree+1) matmul.
+
+    ``pack_bf16`` (degree == 2 only, ``lookup_poly_pack``): the two
+    higher-power coefficients are rounded to bf16 and packed as 16-bit
+    halves of ONE i32 row — the kernel then pays 4 gathers per step
+    instead of 5 (the r4 probe ladder prices the poly path's gathers at
+    ~37% of the loop).  Exactness is untouched BY CONSTRUCTION: margins
+    are measured against the same bf16-rounded Horner evaluation the
+    kernel reconstructs (top-16 f32 bits == the widened bf16 value), so
+    rounding only moves the measured margins (sine table: delta_s 368 ->
+    378, delta_t 567 -> 922 — still far under the 16-bit field).  Packed
+    row layout: row 0 = (bf16(a2) << 16) | bf16(a1); row 1 = a0 (f32);
+    row 2 = margins; row 3 = chunk-0 exact row; row 4 = candidate bound.
+    NaN-poisoned chunks survive packing (bf16(NaN) widens back to NaN).
     """
     import numpy as np
 
@@ -836,6 +879,14 @@ def pack_poly_thresholds(table, degree=4):
     pinv = np.linalg.pinv(basis)  # (degree+1, LANES), static f64 constant
     coef = y @ jnp.asarray(pinv.T, jnp.float32)      # (C, degree+1) low->high
     cf = coef[:, ::-1]                               # high->low (Horner)
+    if pack_bf16:
+        if degree != 2:
+            raise ValueError("pack_bf16 supports degree == 2 only")
+        # round a2, a1 to bf16 BEFORE measuring: the margins then absorb
+        # the rounding error and decided lanes stay provably exact
+        cf = cf.at[:, 0:2].set(
+            cf[:, 0:2].astype(jnp.bfloat16).astype(jnp.float32)
+        )
 
     # measure the fit with the SAME f32 expressions the kernel runs: the
     # Horner value for chunks >= 1, the exact f32 row for chunk 0
@@ -869,10 +920,30 @@ def pack_poly_thresholds(table, degree=4):
         jnp.pad(cf[:, k], (0, LANES - n_chunks), constant_values=jnp.nan)
         for k in range(degree + 1)
     ]
-    rows = [
-        jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
-        for r in rows_f32
-    ]
+    if pack_bf16:
+        # one i32 row: top 16 f32 bits of a2 (== its bf16 bits, since the
+        # values were bf16-rounded above) in the high half, a1's in the
+        # low half; the f32 constant row a0 follows.  NaN rows pack to
+        # 0x7FC0 halves, which widen back to NaN in the kernel.
+        def top16(r):
+            return (
+                jax.lax.bitcast_convert_type(
+                    r.astype(jnp.float32), jnp.int32
+                )
+                >> 16
+            ) & jnp.int32(0xFFFF)
+
+        rows = [
+            (top16(rows_f32[0]) << 16) | top16(rows_f32[1]),
+            jax.lax.bitcast_convert_type(
+                rows_f32[2].astype(jnp.float32), jnp.int32
+            ),
+        ]
+    else:
+        rows = [
+            jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
+            for r in rows_f32
+        ]
     rows.append(jnp.pad(margins, (0, LANES - n_chunks)))
     rows.append(jax.lax.bitcast_convert_type(exact0, jnp.int32))
     # row degree+3: the GLOBAL max total threshold max_idx T(split+remove)

@@ -390,6 +390,7 @@ def _worklog_kernel(
             tail_waves=config.lookup_tail_waves,
             poly_degree=config.lookup_poly_degree,
             cand_gate=config.lookup_cand_gate,
+            poly_pack=config.lookup_poly_pack,
         )
 
         suspended0 = _is_suspended(status0)
@@ -820,7 +821,8 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
         aux = pack_threshold_full(table)           # (2 x 8-padded chunks, L) i32
     elif config.lookup_mode.startswith("polythresh"):
         aux = pack_poly_thresholds(
-            table, config.lookup_poly_degree
+            table, config.lookup_poly_degree,
+            pack_bf16=config.lookup_poly_pack,
         )                                          # (8-padded degree+3, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")

@@ -217,6 +217,12 @@ VARIANTS = {
     "gchunk": {"grid_live_chunks": 16},
     "gchunk8": {"grid_live_chunks": 8},
     "gchunk32": {"grid_live_chunks": 32},
+    # round-4: bf16-packed coefficient row (EXACT; margins re-measured
+    # against the rounded evaluation) — 4 aux gathers/step instead of 5.
+    # The r4 probe ladder prices the poly path's gathers at ~37% of the
+    # loop; the risk is the bf16-widened margins (delta_t 567 -> 922)
+    # buying extra fallback trips — watch the late windows.
+    "ppack": {"lookup_poly_pack": True},
 }
 
 

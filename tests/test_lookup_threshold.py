@@ -64,6 +64,17 @@ def test_lookup_modes_preserve_outcomes(mode, hits):
 
 
 @pytest.mark.parametrize("hits", [False, True])
+def test_polythresh_pack_preserves_outcomes(hits):
+    """lookup_poly_pack (bf16-packed coefficient row): the random table
+    fits no chunk, so the NaN halves must widen back to NaN and poison
+    every non-chunk-0 lane into the exact fallback; chunk-0 flows through
+    the exact row + measured margins as usual.  Outcomes identical."""
+    _check_lookup_outcomes("polythresh", hits, poly_pack=True)
+    _check_lookup_outcomes("polythresh", hits, poly_pack=True,
+                           cand_gate=True, table=_mk_table(spike=60.0))
+
+
+@pytest.mark.parametrize("hits", [False, True])
 def test_polythresh_cand_gate_preserves_outcomes(hits):
     """lookup_cand_gate: non-candidate lanes (p24 >= global max total
     threshold) are dropped from the fallback set — outcomes must be
@@ -103,14 +114,15 @@ def test_tail_waves_preserve_outcomes(mode, waves):
 
 
 def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False,
-                           table=None, patch_bits=None):
+                           table=None, patch_bits=None, poly_pack=False):
     if table is None:
         table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
     aux = (
         pack_threshold_full(table)
         if mode in ("staticfull", "staticfull2")
-        else pack_poly_thresholds(table)
+        else pack_poly_thresholds(table, degree=2 if poly_pack else 4,
+                                  pack_bf16=poly_pack)
         if mode == "polythresh"
         else pack_threshold_table(table)
         if mode in ("threshold", "staticthresh", "staticthresh_m",
@@ -119,7 +131,9 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False,
     )
     # static_chunks=3 << the 79-chunk table forces the dynamic tail path
     lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3, hits=hits,
-                                 tail_waves=tail_waves, cand_gate=cand_gate)
+                                 tail_waves=tail_waves, cand_gate=cand_gate,
+                                 poly_degree=2 if poly_pack else 4,
+                                 poly_pack=poly_pack)
 
     # energies spread over the whole table; (8, 128) tile
     rs = np.random.default_rng(3)
@@ -243,6 +257,105 @@ def test_poly_margins_are_sound():
     # (p24 >= bound  =>  p24 >= T_t(c) >= T_s(c) and the raw compares,
     # val - delta <= T by soundness, already say "no event")
     np.testing.assert_array_equal(aux_np[degree + 3], tt.max())
+
+
+def _poly_pack_mirror(aux_np, idx):
+    """Numpy mirror of the PACKED polythresh evaluation (lookup_poly_pack):
+    row 0 carries bf16(a2)|bf16(a1) as 16-bit halves, row 1 = a0 f32,
+    row 2 = margins, row 3 = chunk-0 exact row."""
+    hi = idx // LANES
+    lo = idx % LANES
+    pk = aux_np[0][hi]
+    c2 = (pk & np.int32(-65536)).view(np.float32)
+    c1 = (pk << 16).view(np.float32)
+    a0 = aux_np[1].view(np.float32)[hi]
+    exact0 = aux_np[3].view(np.float32)
+    xs = ((lo.astype(np.float32) - np.float32(63.5))
+          * np.float32(1.0 / 63.5))
+    val = ((c2 * xs).astype(np.float32) + c1).astype(np.float32)
+    val = ((val * xs).astype(np.float32) + a0).astype(np.float32)
+    val = np.where(hi == 0, exact0[lo], val)
+    mg = aux_np[2][hi]
+    dls = ((mg >> 16) & 0xFFFF).astype(np.float32)
+    dlt = (mg & 0xFFFF).astype(np.float32)
+    return val, dls, dlt, exact0
+
+
+def test_poly_pack_margins_are_sound():
+    """The packed-coefficient exactness proof: the bf16-rounded Horner
+    value reconstructed from the 16-bit halves sits within the measured
+    margins of the exact 24-bit thresholds for every fitted bucket, with
+    the pad to spare; unfitted chunks stay NaN; the fitted window must
+    not collapse vs the unpacked degree-2 fit; the candidate bound (row
+    4) is still the global max total threshold."""
+    table = jnp.asarray(load_table())
+    aux_np = np.asarray(pack_poly_thresholds(table, 2, pack_bf16=True))
+    ts = np.asarray(_exact_threshold(table[:, 0].astype(jnp.float32)))
+    tt = np.asarray(
+        _exact_threshold(
+            table[:, 0].astype(jnp.float32) + table[:, 1].astype(jnp.float32)
+        )
+    )
+    idx = np.arange(10000)
+    val, dls, dlt, _ = _poly_pack_mirror(aux_np, idx)
+    decided = ~np.isnan(val)
+    np.testing.assert_array_equal(val[:LANES], ts[:LANES].astype(np.float32))
+    n_fit = decided[LANES:].sum() // LANES
+    # unpacked deg2 fits chunks 1..10; bf16 rounding must not lose any
+    aux_f32 = np.asarray(pack_poly_thresholds(table, 2))
+    val_f32 = _poly_fit_mirror(aux_f32, 2, idx)[0]
+    assert n_fit * LANES == (~np.isnan(val_f32))[LANES:].sum()
+    err_s = np.abs(val[decided] - ts[decided])
+    err_t = np.abs(2.0 * val[decided] - tt[decided])
+    assert np.all(err_s <= dls[decided] - _POLY_PAD / 2)
+    assert np.all(err_t <= dlt[decided] - _POLY_PAD / 2)
+    np.testing.assert_array_equal(aux_np[4], tt.max())
+
+
+@pytest.mark.parametrize("hits", [False, True])
+def test_polythresh_pack_decided_and_margin_lanes(hits):
+    """Packed-coefficient variant of the decided/margin-lane test: lanes
+    engineered just inside and outside the (bf16-widened) margins around
+    both thresholds, plus chunk-0 and escapee lanes — every decided path
+    and the fallback must reproduce the exact f32 outcomes."""
+    table = jnp.asarray(load_table())
+    split2d, remove2d, n_chunks = _pad_tables(table)
+    aux = pack_poly_thresholds(table, 2, pack_bf16=True)
+    lookup = make_chunked_lookup(n_chunks, "polythresh", hits=hits,
+                                 poly_degree=2, poly_pack=True)
+
+    rs = np.random.default_rng(13)
+    shape = (8, LANES)
+    aux_np = np.asarray(aux)
+    idx = rs.integers(0, 10000, shape)
+    idx[0] = rs.integers(0, LANES, LANES)                    # chunk 0
+    idx[1:5] = rs.integers(LANES, 11 * LANES, (4, LANES))    # fitted-ish
+    energy = np.power(10.0, 22.0 * (idx + 0.5) / N_STEPS - 6.0).astype(
+        np.float32
+    )
+    val, dls, dlt, _ = _poly_pack_mirror(aux_np, idx.reshape(-1))
+    val = val.reshape(shape)
+    t_hat = np.where(np.isnan(val), 8 << 20, val).astype(np.int64)
+    off = rs.integers(-3000, 3000, shape)
+    p24 = np.clip(t_hat + off, 0, (1 << 24) - 1).astype(np.uint32)
+    low8 = rs.integers(0, 256, shape, dtype=np.uint64).astype(np.uint32)
+    bits = (p24 << np.uint32(8)) | low8
+    u = np.asarray(rng.uniform_from_bits(jnp.asarray(bits), 0.0, 100.0))
+
+    sp, rm = jax.jit(
+        lambda e, uu, b: lookup(split2d, remove2d, aux, e, uu, b)
+    )(jnp.asarray(energy), jnp.asarray(u), jnp.asarray(bits))
+    sp, rm = np.asarray(sp), np.asarray(rm)
+
+    tn = np.asarray(table)
+    split_true = tn[idx, 0]
+    tot_true = tn[idx, 0].astype(np.float32) + tn[idx, 1].astype(np.float32)
+    if hits:
+        np.testing.assert_array_equal(sp, u < split_true)
+        np.testing.assert_array_equal(rm, u < tot_true)
+    else:
+        np.testing.assert_array_equal(u < sp, u < split_true)
+        np.testing.assert_array_equal(u < sp + rm, u < tot_true)
 
 
 @pytest.mark.parametrize("hits", [False, True])

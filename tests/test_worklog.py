@@ -179,6 +179,11 @@ BASE = SimConfig(
         # provable no-op here; the sine table growth test below exercises
         # the active gate
         BASE.replace(lookup_mode="polythresh", lookup_cand_gate=True),
+        # bf16-packed coefficient row (4 aux gathers instead of 5): the
+        # constant table fits exactly even after rounding, exercising the
+        # packed decided path in-engine
+        BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
+                     lookup_poly_pack=True),
         # spawn-guard: the child-staging select+store block runs under a
         # per-step any(spawn) branch — skipped stores must never be ones a
         # spawn needed, so the multiset must stay bit-exact
@@ -199,7 +204,7 @@ BASE = SimConfig(
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
          "polythresh", "polythresh-hits", "polythresh-d5",
-         "polythresh-cgate",
+         "polythresh-cgate", "polythresh-pack",
          "spawn-guard", "spawn-guard-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
@@ -212,21 +217,25 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
 
 
 @pytest.mark.parametrize(
-    "lookup_mode,cand_gate",
-    [pytest.param("staticthresh", False, marks=pytest.mark.slow),
+    "lookup_mode,cand_gate,pack",
+    [pytest.param("staticthresh", False, False, marks=pytest.mark.slow),
      # realistic fits: the sine table's fitted prefix decides most lanes,
      # margin/escapee lanes exercise the fallback inside the engine
-     pytest.param("polythresh", False, marks=pytest.mark.slow),
+     pytest.param("polythresh", False, False, marks=pytest.mark.slow),
      # candidate gate ACTIVE: the sine table's bound (max total ~10%)
      # excludes ~90% of lanes per step from the fallback set — the
      # multiset must stay bit-exact vs the oracle
-     ("polythresh", True)],
+     ("polythresh", True, False),
+     # packed coefficients on the REAL table: bf16-widened margins route
+     # more lanes to the fallback, outcomes must stay bit-exact
+     ("polythresh", True, True)],
 )
-def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate):
+def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate, pack):
     # the default table needs velocity spread before collisions kick in;
     # run longer so the growth regime is exercised
     cfg = BASE.replace(poisson_steps=3, poisson_timestep=8, init_n=500,
-                       lookup_mode=lookup_mode, lookup_cand_gate=cand_gate)
+                       lookup_mode=lookup_mode, lookup_cand_gate=cand_gate,
+                       lookup_poly_pack=pack)
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), sine_table)
     wl_state, wl_m = run_steps(cfg.replace(scheduler="dynamic"), sine_table)
     assert wl_m == oracle_m
