@@ -209,7 +209,7 @@ def test_live_prefix_chunking_bit_exact():
     # non-dividing chunk count, chunk-boundary, and full-w; the full
     # matrix costs ~35 s of CPU compiles, so only the distinct-branch
     # representatives stay (each pair is its own compile)
-    for n_live, chunks in ((0, 7), (1, 16), (777, 7), (1500, 2), (3000, 16)):
+    for n_live, chunks in ((0, 7), (777, 7), (3000, 16)):
         weight = jnp.asarray(
             (
                 (np.arange(w) < n_live) & (rng.uniform(size=w) < 0.9)

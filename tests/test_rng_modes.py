@@ -115,18 +115,17 @@ def _final(cfg, table):
     return sorted_particle_array(state), metrics
 
 
-@pytest.mark.parametrize(
-    "unroll",
-    [pytest.param(2, marks=pytest.mark.slow), 4,
-     pytest.param(8, marks=pytest.mark.slow)],
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("unroll", [2, 4, 8])
 def test_worklog_block2_unrolled_matches_oracle(const_table, unroll):
     """worklog (unrolled T-loop + pair-fused block2 draws) vs the pure-JAX
     cadences under the same rng_mode: exact multiset + metrics equality.
     T=7 makes the unroll=4 loop's last iteration straddle ``upper`` at BOTH
     its second pair's even step and the odd tail — every gate exercised
-    (at unroll=8 the whole loop is one straddling iteration).  The default
-    lane keeps the shipped unroll=4; 2/8 run in the slow matrix."""
+    (at unroll=8 the whole loop is one straddling iteration).  Slow lane
+    (r4 split): the default-lane worklog-vs-oracle coverage of the shipped
+    block2+unroll4 engine is test_worklog_matches_sync_oracle[d2], which
+    runs the session-default stream; this matrix pins the 2/4/8 family."""
     cfg = _CFG.replace(rng_mode="block2", worklog_unroll=unroll)
     arr_w, m_w = _final(cfg, const_table)
     arr_n, m_n = _final(cfg.replace(scheduler="naive"), const_table)

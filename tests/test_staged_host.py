@@ -46,7 +46,9 @@ def _run(cfg, table, step_fn):
     return sorted_particle_array(state), metrics
 
 
-@pytest.mark.parametrize("pass_chunk", [1, 3])
+@pytest.mark.parametrize(
+    "pass_chunk", [pytest.param(1, marks=pytest.mark.slow), 3]
+)
 def test_staged_host_bit_exact(const_table, pass_chunk):
     ref, ref_m = _run(CFG, const_table, poisson_step)
 

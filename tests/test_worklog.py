@@ -224,10 +224,12 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
      pytest.param("polythresh", False, False, marks=pytest.mark.slow),
      # candidate gate ACTIVE: the sine table's bound (max total ~10%)
      # excludes ~90% of lanes per step from the fallback set — the
-     # multiset must stay bit-exact vs the oracle
-     ("polythresh", True, False),
-     # packed coefficients on the REAL table: bf16-widened margins route
-     # more lanes to the fallback, outcomes must stay bit-exact
+     # multiset must stay bit-exact vs the oracle (slow since the r4d
+     # pack flip made this a non-default engine)
+     pytest.param("polythresh", True, False, marks=pytest.mark.slow),
+     # packed coefficients on the REAL table (the r4 default engine):
+     # bf16-widened margins route more lanes to the fallback, outcomes
+     # must stay bit-exact
      ("polythresh", True, True)],
 )
 def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate, pack):
