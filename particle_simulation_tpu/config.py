@@ -145,7 +145,9 @@ class SimConfig:
     # (2026-08-20, twice): 1.322e9 (reproduced to 4 digits) vs base
     # 1.284-1.298e9, better at EVERY window incl. late ones — the first
     # exact engine past the old st_floor2 probe ceiling (1.31e9);
-    # final_n bit-exact.
+    # final_n bit-exact.  Applies to degree 2 only; at any other
+    # lookup_poly_degree the engines auto-disable the pack (the flag is
+    # ignored), so degree sweeps work with the default on (ADVICE r4).
     lookup_poly_pack: bool = True
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic

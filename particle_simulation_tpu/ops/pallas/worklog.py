@@ -390,7 +390,8 @@ def _worklog_kernel(
             tail_waves=config.lookup_tail_waves,
             poly_degree=config.lookup_poly_degree,
             cand_gate=config.lookup_cand_gate,
-            poly_pack=config.lookup_poly_pack,
+            poly_pack=config.lookup_poly_pack
+            and config.lookup_poly_degree == 2,
         )
 
         suspended0 = _is_suspended(status0)
@@ -822,7 +823,8 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
     elif config.lookup_mode.startswith("polythresh"):
         aux = pack_poly_thresholds(
             table, config.lookup_poly_degree,
-            pack_bf16=config.lookup_poly_pack,
+            pack_bf16=config.lookup_poly_pack
+            and config.lookup_poly_degree == 2,
         )                                          # (8-padded degree+3, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")

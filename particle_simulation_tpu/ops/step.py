@@ -175,11 +175,6 @@ def _check_stamp_domain(config: SimConfig) -> None:
         raise ValueError(
             f"worklog_unroll={config.worklog_unroll} unsupported (1, 2, 4 or 8)"
         )
-    if config.lookup_poly_pack and config.lookup_poly_degree != 2:
-        raise ValueError(
-            "lookup_poly_pack packs exactly two high-power coefficients "
-            f"(degree 2); got lookup_poly_degree={config.lookup_poly_degree}"
-        )
     if config.scheduler == "dynamic_old" and config.kernel_sublanes > 128:
         raise ValueError(
             f"kernel_sublanes={config.kernel_sublanes} exceeds the staged "

@@ -12,9 +12,16 @@ module is the framework's distributed story, built the TPU way:
     range and its own ``n``), so the mobility phase needs **zero**
     communication; the only collective per Poisson step is one integer-grid
     psum plus scalar metric psums;
-  * genealogy ids are seeded with disjoint per-shard slot offsets, so
-    determinism holds chip-count-independently: an N-chip run equals a
-    1-chip run on the union of shard populations.
+  * initial genealogy ids are keyed by GLOBAL PARTICLE INDEX (shard i's
+    j-th seeded particle is global particle ``i * init_n + j``), NOT by the
+    capacity-layout slot — so the id set of a given global workload is
+    ``{0 .. total_init_n - 1}`` regardless of how many shards it is split
+    across, and shard-count invariance holds: the same global (init_n,
+    capacity) run produces the same sorted final multiset at any mesh size
+    (tests/test_sharded.py::test_shard_count_invariance).  This mirrors the
+    reference's slot-keyed curand streams
+    (/root/reference/src/random.cu:3-5), which exist precisely to make the
+    execution layout unobservable to the physics.
 
 Weak scaling: capacity and init_n are per-chip-multiplied; BASELINE.json's
 "Multi-chip v5p-8 weak scaling to 1e8 particles" config maps to
@@ -59,13 +66,16 @@ def setup_sharded(config: SimConfig, mesh: Mesh) -> SimState:
     """Build the initial population directly in sharded form.
 
     ``config.init_n`` and ``config.capacity`` are PER-SHARD; each shard
-    seeds its own particles with a disjoint genealogy slot range.
+    seeds its particles with the contiguous global-particle-index id range
+    ``[i * init_n, (i + 1) * init_n)`` — independent of the capacity
+    layout, so splitting one global workload across more shards does not
+    change the seeded id multiset (shard-count invariance).
     """
     d = mesh.devices.size
     shards = []
     ns = []
     for i in range(d):
-        s = setup_particles(config, slot_offset=i * config.capacity)
+        s = setup_particles(config, slot_offset=i * config.init_n)
         shards.append(s)
         ns.append(s.n)
     cat = lambda get: jnp.concatenate([get(s) for s in shards], axis=0)

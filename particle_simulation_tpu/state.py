@@ -71,8 +71,11 @@ def setup_particles(config: SimConfig, slot_offset: int = 0) -> SimState:
     uninitialized in a local struct — latent UB noted in SURVEY.md §2; the
     surrounding cudaMemset makes 0 the intended value.)
 
-    ``slot_offset`` gives each shard of a multi-chip run a disjoint global
-    slot range so genealogy ids never collide across shards.
+    ``slot_offset`` gives each shard of a multi-chip run a disjoint,
+    contiguous global-particle-index range (``i * init_n`` for shard i —
+    parallel/sharded.setup_sharded), so genealogy ids never collide across
+    shards AND the seeded id multiset of a global workload is independent
+    of how many shards it is split across (shard-count invariance).
     """
     st = zero_state(config)
     c, init_n = config.capacity, config.init_n
