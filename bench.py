@@ -244,26 +244,41 @@ def _emit(value, **notes):
 def _best_progress(progress_path):
     """Parse the child's JSON-lines progress file.
 
-    Returns (best_rate, n_windows).  Malformed trailing lines (child killed
-    mid-write) are ignored."""
-    best, count = 0.0, 0
+    Returns (best_rate, n_windows, best_record).  Malformed trailing lines
+    (child killed mid-write) are ignored.  Windows are tagged with the
+    capacity bucket ``w`` they ran at; only windows from the LARGEST bucket
+    seen count (ADVICE r4): a window timed at a sub-capacity bucket that
+    later overflowed does less dead-lane work per push and reads high, and
+    the redo ladder only ever climbs, so max-w == the settled bucket.  (If
+    the child died before any settled-bucket window completed, the
+    smaller-bucket windows are all there is — reported, with the bucket in
+    the emitted JSON so the optimism is visible.)"""
+    records = []
     try:
         with open(progress_path) as f:
             lines = f.readlines()
     except OSError:
-        return best, count
+        return 0.0, 0, None
     for line in lines:
         line = line.strip()
         if not line:
             continue
         try:
             rec = json.loads(line)
-            rate = float(rec["rate"])
+            rec["rate"] = float(rec["rate"])
         except (ValueError, KeyError, TypeError):
             continue
+        records.append(rec)
+    buckets = [rec["w"] for rec in records if "w" in rec]
+    if buckets:
+        w_max = max(buckets)
+        records = [rec for rec in records if rec.get("w", w_max) == w_max]
+    best, count, best_rec = 0.0, 0, None
+    for rec in records:
         count += 1
-        best = max(best, rate)
-    return best, count
+        if rec["rate"] >= best:
+            best, best_rec = rec["rate"], rec
+    return best, count, best_rec
 
 
 def _kill_group(proc, sig):
@@ -290,8 +305,10 @@ def _watchdog(child_argv, deadline_s, progress_path, extra_env=None):
     def _on_term(signum, frame):
         # The driver is reaping us: get the line out before dying.
         _kill_group(proc, signal.SIGKILL)
-        value, n = _best_progress(progress_path)
+        value, n, rec = _best_progress(progress_path)
         notes = {"windows": n}
+        if rec and "w" in rec:
+            notes["w"] = rec["w"]
         if n == 0:
             notes["degraded"] = "no window completed before external signal"
         _emit(value, **notes)
@@ -321,8 +338,10 @@ def _watchdog(child_argv, deadline_s, progress_path, extra_env=None):
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)
 
-    value, n = _best_progress(progress_path)
+    value, n, rec = _best_progress(progress_path)
     notes = {"windows": n}
+    if rec and "w" in rec:
+        notes["w"] = rec["w"]
     if timed_out:
         notes["deadline_hit"] = True
     if n == 0:
@@ -378,19 +397,33 @@ def _out_of_time(budget_s):
     return rem is not None and rem < budget_s
 
 
-def _read_bucket_hint():
+def _hint_fingerprint(config):
+    """Identity of the measured workload: a hint recorded for a different
+    config (or after growth-reducing code changes bump this string) must
+    not pin future captures to a stale bucket (ADVICE r4)."""
+    g = "x".join(str(x) for x in config.grid_size)
+    return (
+        f"{config.init_n}/{config.capacity}/T{config.poisson_timestep}/"
+        f"{g}/{config.scheduler}/v1"
+    )
+
+
+def _read_bucket_hint(fp):
     try:
         with open(_HINT_PATH) as f:
-            return int(json.load(f)["w"])
+            rec = json.load(f)
+        if rec.get("fp") != fp:
+            return None
+        return int(rec["w"])
     except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
-def _write_bucket_hint(w):
+def _write_bucket_hint(w, fp):
     try:
         os.makedirs(os.path.dirname(_HINT_PATH), exist_ok=True)
         with open(_HINT_PATH, "w") as f:
-            json.dump({"w": int(w)}, f)
+            json.dump({"w": int(w), "fp": fp}, f)
     except OSError:
         pass
 
@@ -415,7 +448,7 @@ def child_main():
     table = load_table()
 
     w = _bucket_size(config.init_n, config.capacity)
-    hint = _read_bucket_hint()
+    hint = _read_bucket_hint(_hint_fingerprint(config))
     if hint is not None and hint > w:
         # A previous capture settled above the natural first bucket: start
         # there and skip the doomed-bucket compile (each distinct bucket is
@@ -493,7 +526,7 @@ def child_main():
             if redo:
                 w = _bucket_size(w + 1, config.capacity)
                 continue
-            _write_bucket_hint(w)
+            _write_bucket_hint(w, _hint_fingerprint(config))
             break
 
 

@@ -207,9 +207,57 @@ def test_watchdog_end_to_end_prints_one_json_line(bench_mod, tmp_path):
 def test_best_progress_ignores_malformed_tail(bench_mod, tmp_path):
     p = tmp_path / "p.jsonl"
     p.write_text('{"rate": 5.0}\n{"rate": 7.0}\n{"rate": 9')  # torn write
-    best, n = bench_mod._best_progress(str(p))
+    best, n, rec = bench_mod._best_progress(str(p))
     assert best == 7.0
     assert n == 2
+    assert rec == {"rate": 7.0}
+
+
+def test_best_progress_only_counts_settled_bucket(bench_mod, tmp_path):
+    # ADVICE r4: windows timed at a sub-capacity bucket that later
+    # overflowed do less dead-lane work per push and read HIGH; only the
+    # largest (settled) bucket's windows may win
+    import json as _json
+
+    p = tmp_path / "p.jsonl"
+    rows = [
+        {"rate": 9.0e8, "w": 1 << 20},   # pre-overflow bucket: fast but bogus
+        {"rate": 9.5e8, "w": 1 << 20},
+        {"rate": 8.0e8, "w": 1 << 21},   # settled bucket
+        {"rate": 8.4e8, "w": 1 << 21},
+    ]
+    p.write_text("".join(_json.dumps(r) + "\n" for r in rows))
+    best, n, rec = bench_mod._best_progress(str(p))
+    assert best == 8.4e8
+    assert n == 2
+    assert rec["w"] == 1 << 21
+
+
+def test_watchdog_reports_settled_bucket_in_notes(bench_mod, tmp_path):
+    src = """
+import json, os
+with open(os.environ["BENCH_PROGRESS_FILE"], "a") as f:
+    f.write(json.dumps({"rate": 1.5e9, "w": 1048576}) + "\\n")
+    f.write(json.dumps({"rate": 1.2e9, "w": 2097152}) + "\\n")
+"""
+    value, notes = _run_watchdog(bench_mod, tmp_path, src, 60)
+    assert value == 1.2e9  # the 1.5e9 smaller-bucket window must not win
+    assert notes["w"] == 2097152
+
+
+def test_bucket_hint_rejects_stale_fingerprint(bench_mod, monkeypatch, tmp_path):
+    # ADVICE r4: a hint recorded for a different config must not pin the
+    # capture to its bucket
+    import json as _json
+
+    hint = tmp_path / "hint.json"
+    monkeypatch.setattr(bench_mod, "_HINT_PATH", str(hint))
+    bench_mod._write_bucket_hint(1 << 21, "fpA")
+    assert bench_mod._read_bucket_hint("fpA") == 1 << 21
+    assert bench_mod._read_bucket_hint("fpB") is None
+    # legacy un-fingerprinted hint: ignored
+    hint.write_text(_json.dumps({"w": 1 << 21}))
+    assert bench_mod._read_bucket_hint("fpA") is None
 
 
 def test_child_soft_deadline_helpers(bench_mod, monkeypatch):
