@@ -30,6 +30,10 @@ Weak scaling: capacity and init_n are per-chip-multiplied; BASELINE.json's
 
 from __future__ import annotations
 
+import functools
+import os
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -157,16 +161,16 @@ def _slab_subgrid_field(idx, weight, origin, config: SimConfig, n_dev: int):
     return acc_fn
 
 
-def sharded_poisson_step(mesh: Mesh, config: SimConfig):
-    """Build the jitted multi-chip Poisson step.
+@functools.lru_cache(maxsize=None)
+def _shardmap_step(mesh: Mesh, config: SimConfig):
+    """Build the (unjitted) shard_map Poisson step for a mesh + config.
 
-    Returns step(state, poisson_index, table) -> (state, metrics) where the
-    state is the sharded layout produced by setup_sharded.
-
-    ``config.grid_mode`` selects the field-phase communication strategy:
-    "replicated" (default) deposits per shard on the full grid and psums it;
-    "slab" runs the grid-sharded bbox-subgrid path (_slab_subgrid_field)
-    with a replicated fallback when the population outgrows the window.
+    ``config`` must be canonicalized (ops.step._step_config) so one build —
+    and one compilation of anything jitted around it — serves every T /
+    run-shape of a sweep; ``poisson_timestep`` arrives as the TRACED scalar
+    ``t_steps``.  Cached so chunked callers reuse one instance (a fresh
+    Python callable per chunk would defeat the jit cache and recompile
+    every chunk).
     """
     from ..schedulers import get_mobility_phase
 
@@ -186,7 +190,7 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
             "neighbour field model and f32 precision"
         )
 
-    def per_shard(state: SimState, poisson_index, table):
+    def per_shard(state: SimState, poisson_index, table, t_steps):
         # state arrays here are the local shard; n is shape (1,)
         state = state._replace(n=state.n[0])
 
@@ -230,8 +234,7 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
         # ---- mobility phase + compaction: fully shard-local ----
         n_start = state.n_clamped
         state, info = mobility_phase(
-            state, poisson_index, table, config,
-            jnp.asarray(config.poisson_timestep, jnp.int32),
+            state, poisson_index, table, config, t_steps,
         )
         if getattr(mobility_phase, "self_compacting", False):
             added = info["added"]
@@ -262,12 +265,13 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
         }
         return state._replace(n=state.n[None]), metrics
 
-    sm = jax.shard_map(
+    return jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(
             SimState(pos=P("dp"), vel=P("dp"), acc=P("dp"), status=P("dp"),
                      id_hi=P("dp"), id_lo=P("dp"), n=P("dp")),
+            P(),
             P(),
             P(),
         ),
@@ -279,25 +283,247 @@ def sharded_poisson_step(mesh: Mesh, config: SimConfig):
         ),
         check_vma=False,
     )
-    return jax.jit(sm)
 
 
-def run_pic_sharded(config: SimConfig, mesh: Mesh, table=None):
-    """Multi-chip run_pic: host Poisson loop over the sharded step."""
+@functools.lru_cache(maxsize=None)
+def _sharded_step_jit(mesh: Mesh, cfg: SimConfig):
+    """Jitted single sharded step (canonicalized cfg, traced T)."""
+    return jax.jit(_shardmap_step(mesh, cfg))
+
+
+def sharded_poisson_step(mesh: Mesh, config: SimConfig):
+    """Build the jitted multi-chip Poisson step.
+
+    Returns step(state, poisson_index, table) -> (state, metrics) where the
+    state is the sharded layout produced by setup_sharded.
+
+    ``config.grid_mode`` selects the field-phase communication strategy:
+    "replicated" (default) deposits per shard on the full grid and psums it;
+    "slab" runs the grid-sharded bbox-subgrid path (_slab_subgrid_field)
+    with a replicated fallback when the population outgrows the window.
+    """
+    from ..ops.step import _step_config
+
+    step_jit = _sharded_step_jit(mesh, _step_config(config))
+    t_steps = jnp.asarray(config.poisson_timestep, jnp.int32)
+
+    def step(state, poisson_index, table):
+        return step_jit(state, poisson_index, table, t_steps)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_loop_jit(mesh: Mesh, cfg: SimConfig, num_steps: int):
+    """Device-resident multi-chip Poisson-step chunk: ONE dispatch runs
+    ``num_steps`` sharded steps via lax.scan (the multi-chip twin of
+    ops/step._poisson_loop_jit).  ``cfg`` is canonicalized; T and the first
+    Poisson index are traced, so one compilation per (engine, mesh, bucket,
+    num_steps) serves every T of a sweep.  A globally-zero population
+    short-circuits remaining steps through a no-op branch."""
+    sm = _shardmap_step(mesh, cfg)
+    d = int(mesh.devices.size)
+
+    @jax.jit
+    def loop(state, table, t_steps, first_index):
+        def body(st, idx):
+            def live_step(s):
+                return sm(s, idx.astype(jnp.uint32), table, t_steps)
+
+            def dead_step(s):
+                zero = jnp.zeros((), jnp.int32)
+                return s, {
+                    "n": zero, "added": zero, "removed": zero,
+                    "overflow": jnp.zeros((), bool),
+                    "pushes": jnp.zeros((), jnp.float32),
+                    "pushes_lo": jnp.zeros((d,), jnp.int32),
+                    "pushes_hi": jnp.zeros((d,), jnp.int32),
+                }
+
+            return jax.lax.cond(jnp.sum(st.n) > 0, live_step, dead_step, st)
+
+        indices = jnp.arange(num_steps, dtype=jnp.int32) + first_index
+        return jax.lax.scan(body, state, indices)
+
+    return loop
+
+
+def sharded_poisson_loop(state, table, config: SimConfig, mesh: Mesh,
+                         num_steps: int, first_index: int = 0):
+    from ..ops.step import _step_config
+
+    loop = _sharded_loop_jit(mesh, _step_config(config), num_steps)
+    return loop(
+        state, table,
+        jnp.asarray(config.poisson_timestep, jnp.int32),
+        jnp.asarray(first_index, jnp.int32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_sharded_jit(mesh: Mesh, c_old: int, w: int, fdt: str):
+    """Shard-LOCAL container resize: slice (w < c_old) or zero-pad
+    (w > c_old) every shard's block to ``w`` rows.  Runs inside shard_map
+    so it provably moves no data between shards — after compaction each
+    shard's live particles sit in its local prefix, so the dropped tail is
+    dead by construction (same argument as runtime._slice_state /
+    _pad_state, per shard)."""
+
+    def local(state: SimState) -> SimState:
+        def rs(a):
+            if w <= c_old:
+                return a[:w]
+            pad = jnp.zeros((w - c_old,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, pad], axis=0)
+
+        return SimState(
+            pos=rs(state.pos), vel=rs(state.vel), acc=rs(state.acc),
+            status=rs(state.status), id_hi=rs(state.id_hi),
+            id_lo=rs(state.id_lo), n=state.n,
+        )
+
+    spec = SimState(pos=P("dp"), vel=P("dp"), acc=P("dp"), status=P("dp"),
+                    id_hi=P("dp"), id_lo=P("dp"), n=P("dp"))
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    )
+
+
+def _resize_sharded(state: SimState, mesh: Mesh, w: int) -> SimState:
+    d = int(mesh.devices.size)
+    c_old = state.capacity // d
+    if w == c_old:
+        return state
+    fn = _resize_sharded_jit(mesh, c_old, w, str(state.pos.dtype))
+    return fn(state)
+
+
+def run_pic_sharded_device(
+    config: SimConfig,
+    mesh: Mesh,
+    table=None,
+    chunk_steps: int = 2,
+    w_start: int = 0,
+    bucket_floor: int = 1 << 16,
+    row_ckpt=None,
+):
+    """First-class multi-chip run_pic (the sharded twin of
+    runtime.run_pic_device): device-resident chunks of ``chunk_steps``
+    sharded Poisson steps per dispatch, capacity-ladder bucketing of the
+    PER-SHARD container between chunks (with hysteresis), overflow-redo one
+    bucket up (bit-exact: physics is a pure function of genealogy), and
+    crash-resumable row checkpoints.  Returns runtime.RunData whose
+    ``state`` is the sharded layout and whose ``config`` is the per-shard
+    config (reference outer loop: /root/reference/src/pic.cu:487-560, here
+    run per shard with one grid-psum per step).
+
+    ``bucket_floor`` is the smallest per-shard bucket the ladder may pick
+    (runtime._bucket_size's floor): tests use small floors so toy
+    populations still exercise bucket transitions.
+    """
     from .. import cross_section
+    from ..runtime import (
+        RunData,
+        StepMetrics,
+        _bucket_size,
+        _load_row_ckpt,
+        _save_row_ckpt,
+    )
 
     if table is None:
         table = cross_section.load_table(config.cross_section_path)
-    step = sharded_poisson_step(mesh, config)
-    state = setup_sharded(config, mesh)
-    history = []
-    for t in range(config.poisson_steps):
-        state, metrics = step(state, jnp.uint32(t), table)
-        lo = np.asarray(metrics.pop("pushes_lo"), dtype=np.int64)
-        hi = np.asarray(metrics.pop("pushes_hi"), dtype=np.int64)
-        m = {k: int(v) for k, v in metrics.items()}
-        m["pushes"] = int((lo + (hi << 30)).sum())  # exact across shards
-        history.append(m)
-        if m["n"] == 0:
+    d = int(mesh.devices.size)
+    cap = config.capacity  # per shard
+
+    w0 = min(_bucket_size(config.init_n, cap, floor=bucket_floor), cap)
+    state = setup_sharded(config.replace(capacity=w0), mesh)
+    steps = []
+    wall_total = 0.0
+    done = 0
+    w_hint = min(w_start, cap)
+    resumed = _load_row_ckpt(row_ckpt, config) if row_ckpt else None
+    if resumed is not None:
+        r_state, r_steps, r_wall, r_done, r_hint = resumed
+        if r_state.n.shape == (d,):  # snapshot from the same mesh size
+            state = shard_state(r_state, mesh)
+            steps, wall_total, done, w_hint = r_steps, r_wall, r_done, r_hint
+            print(
+                f"sharded row resumed from {row_ckpt}: poisson step {done}, "
+                f"n={int(np.sum(np.asarray(state.n)))}", flush=True,
+            )
+
+    while done < config.poisson_steps:
+        k = min(chunk_steps, config.poisson_steps - done)
+        n_max = int(np.max(np.asarray(state.n)))
+        w = max(min(_bucket_size(n_max, cap, floor=bucket_floor), cap), w_hint)
+        while True:
+            part = _resize_sharded(state, mesh, w)
+            cfg_w = config.replace(capacity=w)
+            t0 = time.perf_counter()
+            final, metrics = sharded_poisson_loop(
+                part, table, cfg_w, mesh, k, first_index=done
+            )
+            n_final = int(metrics["n"][-1])  # host readback forces execution
+            wall = time.perf_counter() - t0
+            if w < cap and bool(jnp.any(metrics["overflow"])):
+                w = min(_bucket_size(w + 1, cap, floor=bucket_floor), cap)
+                continue
             break
-    return state, history
+        w_hint = w
+        wall_total += wall
+        # exact pushes: per-shard base-2^30 pairs summed as Python ints
+        lo = np.asarray(metrics["pushes_lo"], dtype=np.int64)  # (k, d)
+        hi = np.asarray(metrics["pushes_hi"], dtype=np.int64)
+        ns = [int(x) for x in metrics["n"]]
+        steps += [
+            StepMetrics(
+                step=done + i,
+                n=ns[i],
+                added=int(metrics["added"][i]),
+                removed=int(metrics["removed"][i]),
+                wall_s=wall / k,
+                overflow=bool(metrics["overflow"][i]),
+                pushes=float(int(lo[i].sum() + (hi[i].sum() << 30))),
+            )
+            for i in range(len(ns))
+        ]
+        state = final  # container stays at bucket capacity
+        done += k
+        if row_ckpt and done < config.poisson_steps and n_final > 0:
+            host_state = SimState(
+                *(np.asarray(getattr(state, f)) for f in state._fields)
+            )
+            _save_row_ckpt(
+                row_ckpt, config, host_state, steps, wall_total, done, w_hint
+            )
+        if n_final == 0:
+            break
+    if row_ckpt and os.path.exists(row_ckpt):
+        os.remove(row_ckpt)
+    return RunData(
+        config=config,
+        final_n=int(np.sum(np.asarray(state.n))),
+        total_added=sum(s.added for s in steps),
+        total_removed=sum(s.removed for s in steps),
+        device_time_ms=wall_total * 1e3,
+        state=state,
+        steps=steps,
+        last_bucket=w_hint,
+    )
+
+
+def run_pic_sharded(config: SimConfig, mesh: Mesh, table=None, **kwargs):
+    """Multi-chip run_pic, compat surface: returns (state, history) where
+    history is a list of per-step metric dicts.  Since round 5 this rides
+    the first-class runtime (run_pic_sharded_device: bucket ladder +
+    device-resident chunks + overflow redo), which is bit-exact vs the old
+    per-step host loop."""
+    run = run_pic_sharded_device(config, mesh, table, **kwargs)
+    history = [
+        {
+            "n": s.n, "added": s.added, "removed": s.removed,
+            "overflow": int(s.overflow), "pushes": int(s.pushes),
+        }
+        for s in run.steps
+    ]
+    return run.state, history

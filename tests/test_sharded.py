@@ -130,6 +130,79 @@ def test_shard_count_invariance(mesh):
         np.testing.assert_array_equal(rows, base_rows, err_msg=f"mesh={d}")
 
 
+def test_sharded_bucket_ladder_bit_exact(mesh):
+    """The first-class sharded runtime (run_pic_sharded_device): running on
+    small capacity-ladder buckets (bucket_floor=256 forces transitions as
+    the constant table grows the population) must be bit-identical to the
+    full-capacity execution shape — same per-step history and final sorted
+    multiset (the multi-chip analog of the single-chip auto_bucket
+    guarantee)."""
+    from particle_simulation_tpu.parallel.sharded import run_pic_sharded_device
+
+    cfg = CFG.replace(poisson_steps=4, capacity=8192)
+    small = run_pic_sharded_device(cfg, mesh, bucket_floor=256, chunk_steps=2)
+    full = run_pic_sharded_device(cfg, mesh, bucket_floor=cfg.capacity,
+                                  chunk_steps=2)
+    assert [(s.n, s.added, s.removed) for s in small.steps] == \
+        [(s.n, s.added, s.removed) for s in full.steps]
+    np.testing.assert_array_equal(_live_sorted(small.state),
+                                  _live_sorted(full.state))
+    # the ladder actually climbed (per-shard growth 8 -> ~hundreds)
+    assert small.last_bucket > 256
+    assert small.last_bucket < cfg.capacity
+
+
+def test_sharded_overflow_accepted_at_top_bucket(mesh):
+    """At the top bucket overflow is ACCEPTED (children beyond capacity
+    dropped + counted, reference src/pic.cu:544): a tiny per-shard capacity
+    must report overflow=1 yet keep simulating."""
+    from particle_simulation_tpu.parallel.sharded import run_pic_sharded_device
+
+    cfg = CFG.replace(poisson_steps=8, capacity=24, init_n=16)
+    run = run_pic_sharded_device(cfg, mesh, bucket_floor=8)
+    first_ovf = next(i for i, s in enumerate(run.steps) if s.overflow)
+    # the run kept simulating after the accepted overflow
+    assert any(s.pushes > 0 for s in run.steps[first_ovf + 1:])
+
+
+def test_sharded_row_ckpt_resume_bit_exact(mesh, tmp_path):
+    """Crash-resume: interrupting a sharded run mid-row and resuming from
+    the row checkpoint reproduces the uninterrupted run bit-for-bit (the
+    multi-chip analog of tests/test_checkpoint.py)."""
+    from particle_simulation_tpu.parallel.sharded import run_pic_sharded_device
+
+    cfg = CFG.replace(poisson_steps=4, capacity=8192)
+    base = run_pic_sharded_device(cfg, mesh, bucket_floor=256, chunk_steps=1)
+
+    ck = str(tmp_path / "row.npz")
+    # run only the first 2 steps, leaving the checkpoint behind
+    half = run_pic_sharded_device(
+        cfg.replace(poisson_steps=2), mesh, bucket_floor=256, chunk_steps=1,
+        row_ckpt=ck,
+    )
+    import os as _os
+
+    assert not _os.path.exists(ck)  # completed rows clean up
+    # simulate the crash: re-save a 2-step snapshot by running 3 of 4 steps
+    # with a chunk size that checkpoints after each step, then killing — the
+    # cheap equivalent is running the full row with ckpt enabled and
+    # verifying equality, plus resuming from a manually saved snapshot
+    from particle_simulation_tpu.runtime import _save_row_ckpt
+    from particle_simulation_tpu.state import SimState
+
+    host_state = SimState(
+        *(np.asarray(getattr(half.state, f)) for f in half.state._fields)
+    )
+    _save_row_ckpt(ck, cfg, host_state, half.steps, 0.0, 2, half.last_bucket)
+    resumed = run_pic_sharded_device(
+        cfg, mesh, bucket_floor=256, chunk_steps=1, row_ckpt=ck
+    )
+    assert [(s.n, s.added, s.removed) for s in resumed.steps] == \
+        [(s.n, s.added, s.removed) for s in base.steps]
+    np.testing.assert_array_equal(_live_sorted(resumed.state),
+                                  _live_sorted(base.state))
+
+
 def test_slab_grid_mode_bit_equal(mesh):
     """grid_mode='slab' (psum_scatter x-slabs + ppermute halo exchange +
     all_gather rows, VERDICT r2 #7) must reproduce the replicated-psum path
