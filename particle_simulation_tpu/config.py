@@ -216,6 +216,14 @@ class SimConfig:
     # (skipped lanes are dead, whose deposit weight is 0 and whose gathered
     # acc is masked to 0 anyway; tests/test_grid.py).  0 disables.
     grid_live_chunks: int = 0
+    # Full-grid deposition strategy when the population does NOT fit the
+    # bbox window (periodic/thermal extensions — the reference workload
+    # never leaves its seed cube): "scatter" is the XLA .at[].add histogram
+    # (~74M updates/s floor); "sorted" sorts the flat cell ids (values-only
+    # bitonic, not scatter-bound) and MXU-histograms each sorted tile into
+    # a small grid window (ops/grid.deposit_sorted) — identical counts,
+    # with a lax.cond scatter fallback for pathologically sparse tiles.
+    full_deposit: str = "scatter"
     # Multi-chip field-phase strategy (parallel/sharded.py): "replicated"
     # psums the per-shard deposit grid; "slab" shards the bbox subgrid into
     # x-slabs (psum_scatter + ppermute halo exchange + all_gather rows) —

@@ -93,9 +93,13 @@ def grid_phase(state: SimState, config: SimConfig) -> SimState:
             # and contribute nothing on any path (bit-exact).
             n_live=(state.n_clamped if config.grid_live_chunks else None),
             live_chunks=config.grid_live_chunks,
+            full_deposit=config.full_deposit,
         )
         return state._replace(acc=acc)
-    charge = grid_ops.deposit(state.pos, weight, config.cell_size, config.grid_size)
+    charge = grid_ops.deposit_dispatch(
+        state.pos, weight, config.cell_size, config.grid_size,
+        mode=config.full_deposit,
+    )
     acc = field_acceleration(charge, state.pos, weight, config)
     return state._replace(acc=acc)
 

@@ -269,6 +269,86 @@ def test_live_prefix_chunking_engine_equality(request):
         )
 
 
+def test_deposit_sorted_matches_scatter_spread():
+    """deposit_sorted (sorted-window MXU histogram, VERDICT r4 #7) must
+    reproduce the scatter histogram EXACTLY on a spread population — the
+    workload class (periodic/thermal) where the bbox window never fits."""
+    rng = np.random.default_rng(7)
+    grid = (32, 32, 32)
+    n = 20_000
+    pos = rng.uniform(0, grid[0] * CELL * 0.999, (n, 3)).astype(np.float32)
+    weight = (rng.uniform(size=n) < 0.9).astype(np.int32)  # dead lanes mixed in
+    want = g.deposit(jnp.asarray(pos), jnp.asarray(weight), CELL, grid)
+    got = g.deposit_sorted(
+        jnp.asarray(pos), jnp.asarray(weight), CELL, grid,
+        window_rows=32, tile_p=256,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_deposit_sorted_sparse_fallback():
+    """A population sparser than the window (one particle per far-apart
+    cell) must trip the lax.cond fallback and still match scatter."""
+    grid = (32, 32, 32)
+    n = 64
+    # place particles on a coarse lattice spanning the whole grid: each
+    # 256-particle tile spans ~the full id range >> any window
+    coords = np.stack(np.meshgrid(*[np.arange(4)] * 3), -1).reshape(-1, 3)
+    pos = ((coords * 8 + 0.5) * CELL).astype(np.float32)[:n]
+    weight = np.ones(n, np.int32)
+    want = g.deposit(jnp.asarray(pos), jnp.asarray(weight), CELL, grid)
+    got = g.deposit_sorted(
+        jnp.asarray(pos), jnp.asarray(weight), CELL, grid,
+        window_rows=2, tile_p=32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_deposit_sorted_all_dead_and_full_grid_end():
+    """Sentinel handling: all-dead populations deposit nothing; particles
+    in the LAST cell land in the last window without out-of-bounds."""
+    grid = (16, 16, 16)
+    pos = jnp.full((512, 3), 15.9 * CELL, jnp.float32)  # all in the last cell
+    got = g.deposit_sorted(pos, jnp.ones(512, jnp.int32), CELL, grid,
+                           window_rows=4, tile_p=128)
+    assert int(got[-1]) == 512 and int(got.sum()) == 512
+    got0 = g.deposit_sorted(pos, jnp.zeros(512, jnp.int32), CELL, grid,
+                            window_rows=4, tile_p=128)
+    assert int(got0.sum()) == 0
+
+
+def test_full_deposit_sorted_engine_equality():
+    """End-to-end: full_deposit='sorted' with a periodic/thermal workload
+    (init_vth spreads the population; bbox disabled so the full-grid path
+    runs) produces the identical state to the scatter path."""
+    from particle_simulation_tpu import SimConfig
+    from particle_simulation_tpu.cross_section import bundled_paths, load_table
+    from particle_simulation_tpu.ops.step import poisson_step
+    from particle_simulation_tpu.state import setup_particles
+
+    cfg = SimConfig(
+        init_n=400, capacity=2048, poisson_steps=2, poisson_timestep=4,
+        grid_size=(32, 32, 32), scheduler="naive", boundary="periodic",
+        init_vth=1e3, bbox_subgrid=0,
+        cross_section_path=bundled_paths()[1],
+    )
+    table = load_table(cfg.cross_section_path)
+
+    def run(c):
+        st = setup_particles(c)
+        for t in range(c.poisson_steps):
+            st, m = poisson_step(st, jnp.uint32(t), table, c)
+        return st, m
+
+    st0, m0 = run(cfg)
+    st1, m1 = run(cfg.replace(full_deposit="sorted"))
+    assert int(m0["n"]) == int(m1["n"])
+    for f in ("pos", "vel", "acc", "status", "id_hi", "id_lo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st0, f)), np.asarray(getattr(st1, f))
+        )
+
+
 def test_bbox_field_empty_population():
     grid = (32, 32, 32)
     e = electric_force_constant(CELL)
