@@ -149,6 +149,18 @@ class SimConfig:
     # lookup_poly_degree the engines auto-disable the pack (the flag is
     # ignored), so degree sweeps work with the default on (ADVICE r4).
     lookup_poly_pack: bool = True
+    # Round-5 gather rung: fold the margin row INTO the a0 row — a0
+    # quantized to 23 bits (units of 4, bias 2^21: the kernel's q*4 - 2^21
+    # reconstruction is exact integer f32 arithmetic) with the freed low
+    # byte carrying ONE shared margin as an f32 exponent byte
+    # (delta = 2^(e-127), rebuilt by a shift+bitcast, no gather) — the
+    # polythresh path pays 3 aux gathers per mobility step instead of 4.
+    # EXACT for any table: margins are measured against the quantized
+    # evaluation at pack time and only ever widen (shared max, rounded up
+    # to a power of two), which moves lanes into the exact fallback, never
+    # changes a decided outcome.  Requires lookup_poly_pack + degree 2
+    # (auto-disabled otherwise).  Default decided by the r5 chip A/B.
+    lookup_margin_fold: bool = False
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

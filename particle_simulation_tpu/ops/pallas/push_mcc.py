@@ -139,7 +139,7 @@ def _wave_loop(start, stop, visit, acc, waves):
 
 def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                         tail_waves=0, poly_degree=4, cand_gate=False,
-                        poly_pack=False):
+                        poly_pack=False, margin_fold=False):
     """(energy, u, bits) -> (split, remove) via chunk-swept lane-LUT.
 
     The (10000, 2) table is laid out as two (n_chunks, 128) arrays; bucket
@@ -242,14 +242,21 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             # once.  With poly_pack (degree 2) the layout shrinks: row 0 =
             # both high-power coefficients as 16-bit halves (kept i32 —
             # unpacked per gather), row 1 = a0 (f32), row 2 = margins,
-            # row 3 = chunk-0 exact row, row 4 = candidate bound.
-            n_coef_rows = 2 if poly_pack else poly_degree + 1
-            f32_rows = (
-                {1, 3} if poly_pack
-                else set(range(poly_degree + 1)) | {poly_degree + 2}
-            )
+            # row 3 = chunk-0 exact row, row 4 = candidate bound.  With
+            # margin_fold on top: row 1 = (a0q << 8) | margin_exp (i32),
+            # row 2 = chunk-0 exact row, row 3 = candidate bound.
+            if margin_fold:
+                n_coef_rows, f32_rows = 2, {2}
+                n_aux = 1  # e0 only; margins live inside row 1
+            else:
+                n_coef_rows = 2 if poly_pack else poly_degree + 1
+                f32_rows = (
+                    {1, 3} if poly_pack
+                    else set(range(poly_degree + 1)) | {poly_degree + 2}
+                )
+                n_aux = 2  # margin row + e0 row
             rows = []
-            for r in range(n_coef_rows + 2):
+            for r in range(n_coef_rows + n_aux):
                 p = jnp.broadcast_to(aux_ref[r, :][None, :], shape)
                 if r in f32_rows:
                     p = jax.lax.bitcast_convert_type(p, jnp.float32)
@@ -260,7 +267,7 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 # compare broadcasts it across sublanes (a scalar load +
                 # bitcast would be cheaper still, but Mosaic rejects
                 # scalar tpu.bitcast and scalar VMEM reads are unproven)
-                rows.append(aux_ref[n_coef_rows + 2, :][None, :])
+                rows.append(aux_ref[n_coef_rows + n_aux, :][None, :])
             return tuple(rows)
         K = min(static_chunks, n_chunks - 1)
         if mode in ("staticfull", "staticfull2"):
@@ -490,10 +497,25 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                     pk & jnp.int32(-65536), jnp.float32
                 )
                 c1 = jax.lax.bitcast_convert_type(pk << 16, jnp.float32)
-                val = (c2 * xs + c1) * xs + jnp.take_along_axis(
-                    row(1, True), hi, axis=1
-                )
-                mg_row, e0_row = 2, 3
+                if margin_fold:
+                    # round-5 gather rung: ONE i32 row carries a0 (23-bit
+                    # quantized: q*4 - 2^21 is exact integer f32
+                    # arithmetic) AND the shared margin as an f32 exponent
+                    # byte — 3 aux gathers per step instead of 4.  The
+                    # margins were measured against this exact
+                    # reconstruction at pack time (fold_margin docstring).
+                    am = jnp.take_along_axis(row(1, False), hi, axis=1)
+                    a0 = (am >> 8).astype(jnp.float32) * 4.0 - 2097152.0
+                    val = (c2 * xs + c1) * xs + a0
+                    dshared = jax.lax.bitcast_convert_type(
+                        (am & 0xFF) << 23, jnp.float32
+                    )
+                    mg_row, e0_row = None, 2
+                else:
+                    val = (c2 * xs + c1) * xs + jnp.take_along_axis(
+                        row(1, True), hi, axis=1
+                    )
+                    mg_row, e0_row = 2, 3
             else:
                 val = jnp.take_along_axis(row(0, True), hi, axis=1)
                 for k in range(1, d + 1):
@@ -505,10 +527,13 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
             # exact-row gather + one select (its margins are ~pad-sized)
             e0 = jnp.take_along_axis(row(e0_row, True), lo, axis=1)
             val = jnp.where(hi == 0, e0, val)
-            # per-chunk packed margins: one gather, two 16-bit unpacks
-            mg = jnp.take_along_axis(row(mg_row, False), hi, axis=1)
-            dls = ((mg >> 16) & 0xFFFF).astype(jnp.float32)
-            dlt = (mg & 0xFFFF).astype(jnp.float32)
+            if mg_row is None:
+                dls = dlt = dshared
+            else:
+                # per-chunk packed margins: one gather, two 16-bit unpacks
+                mg = jnp.take_along_axis(row(mg_row, False), hi, axis=1)
+                dls = ((mg >> 16) & 0xFFFF).astype(jnp.float32)
+                dlt = (mg & 0xFFFF).astype(jnp.float32)
             p24f = jax.lax.bitcast_convert_type(
                 jnp.asarray(bits, jnp.uint32) >> jnp.uint32(8), jnp.int32
             ).astype(jnp.float32)
@@ -537,7 +562,12 @@ def make_chunked_lookup(n_chunks, mode="band0", static_chunks=8, hits=False,
                 # fraction of steps where their draw is a live candidate.
                 # One compare + one and per step buys a ~1/p_max cut in
                 # fallback trips (the late-window dominator).
-                gate_row = 4 if poly_pack else d + 3
+                if margin_fold:
+                    gate_row = 3
+                elif poly_pack:
+                    gate_row = 4
+                else:
+                    gate_row = d + 3
                 if prep is not None:
                     pmax = prep[gate_row]
                 else:
@@ -791,7 +821,7 @@ _POLY_ERR_CAP = 1024.0
 _POLY_PAD = 8.0
 
 
-def pack_poly_thresholds(table, degree=4, pack_bf16=False):
+def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False):
     """(n, 2) chance table -> (8-padded degree+4, 128) i32 pack for the
     ``polythresh`` lookup: a per-chunk least-squares polynomial fit of the
     EXACT 24-bit split threshold T(split) (see _exact_threshold) replaces
@@ -857,6 +887,19 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False):
     row layout: row 0 = (bf16(a2) << 16) | bf16(a1); row 1 = a0 (f32);
     row 2 = margins; row 3 = chunk-0 exact row; row 4 = candidate bound.
     NaN-poisoned chunks survive packing (bf16(NaN) widens back to NaN).
+
+    ``fold_margin`` (requires ``pack_bf16``, ``lookup_margin_fold``): the
+    round-5 gather rung — 3 gathers per step instead of 4.  The margin row
+    disappears: a0 is quantized to 23 bits (units of 4, bias 2^21 — the
+    kernel's reconstruction q*4 - 2^21 is EXACT integer f32 arithmetic) and
+    its freed low byte stores a single shared margin as an f32 exponent
+    byte (delta = 2^(e-127), built in-kernel by one shift+bitcast — no
+    gather).  Exactness is again by construction: margins are measured
+    against the quantized evaluation the kernel reconstructs, the shared
+    delta is max(delta_s, delta_t) rounded UP to a power of two, and wider
+    margins only move lanes into the exact fallback.  Packed row layout:
+    row 0 = bf16 pair; row 1 = (a0q << 8) | margin_exp; row 2 = chunk-0
+    exact row; row 3 = candidate bound.
     """
     import numpy as np
 
@@ -879,6 +922,8 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False):
     pinv = np.linalg.pinv(basis)  # (degree+1, LANES), static f64 constant
     coef = y @ jnp.asarray(pinv.T, jnp.float32)      # (C, degree+1) low->high
     cf = coef[:, ::-1]                               # high->low (Horner)
+    if fold_margin and not pack_bf16:
+        raise ValueError("fold_margin requires pack_bf16 (degree 2)")
     if pack_bf16:
         if degree != 2:
             raise ValueError("pack_bf16 supports degree == 2 only")
@@ -887,6 +932,14 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False):
         cf = cf.at[:, 0:2].set(
             cf[:, 0:2].astype(jnp.bfloat16).astype(jnp.float32)
         )
+    if fold_margin:
+        # quantize a0 onto the 23-bit biased grid BEFORE measuring: the
+        # kernel's reconstruction q*4 - 2^21 is exact integer f32
+        # arithmetic, so measurement and kernel see the same value
+        a0q = jnp.clip(
+            jnp.round((cf[:, 2] + 2097152.0) * 0.25), 0.0, float((1 << 23) - 1)
+        )
+        cf = cf.at[:, 2].set(a0q * 4.0 - 2097152.0)
 
     # measure the fit with the SAME f32 expressions the kernel runs: the
     # Horner value for chunks >= 1, the exact f32 row for chunk 0
@@ -944,7 +997,22 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False):
             jax.lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
             for r in rows_f32
         ]
-    rows.append(jnp.pad(margins, (0, LANES - n_chunks)))
+    if fold_margin:
+        # shared margin, rounded UP to a power of two, carried as the f32
+        # exponent byte in a0's freed low bits; unfitted chunks (and chunk
+        # 0, whose value comes from the exact row) keep a0q = 0 — their
+        # Horner value is NaN-poisoned regardless, only the exponent byte
+        # is live (chunk 0 still uses its measured delta)
+        delta = jnp.maximum(delta_s, delta_t)
+        mexp = jnp.clip(
+            127.0 + jnp.ceil(jnp.log2(jnp.maximum(delta, 1.0))), 1.0, 254.0
+        ).astype(jnp.int32)
+        am = jnp.where(
+            fitted, (a0q.astype(jnp.int32) << 8) | mexp, mexp
+        )
+        rows = [rows[0], jnp.pad(am, (0, LANES - n_chunks))]
+    else:
+        rows.append(jnp.pad(margins, (0, LANES - n_chunks)))
     rows.append(jax.lax.bitcast_convert_type(exact0, jnp.int32))
     # row degree+3: the GLOBAL max total threshold max_idx T(split+remove)
     # (one f32 value, every lane) — the candidate gate's bound.  A draw

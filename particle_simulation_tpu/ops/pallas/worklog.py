@@ -392,6 +392,9 @@ def _worklog_kernel(
             cand_gate=config.lookup_cand_gate,
             poly_pack=config.lookup_poly_pack
             and config.lookup_poly_degree == 2,
+            margin_fold=config.lookup_margin_fold
+            and config.lookup_poly_pack
+            and config.lookup_poly_degree == 2,
         )
 
         suspended0 = _is_suspended(status0)
@@ -824,6 +827,9 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
         aux = pack_poly_thresholds(
             table, config.lookup_poly_degree,
             pack_bf16=config.lookup_poly_pack
+            and config.lookup_poly_degree == 2,
+            fold_margin=config.lookup_margin_fold
+            and config.lookup_poly_pack
             and config.lookup_poly_degree == 2,
         )                                          # (8-padded degree+3, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (

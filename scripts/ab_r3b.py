@@ -223,6 +223,13 @@ VARIANTS = {
     # loop; the risk is the bf16-widened margins (delta_t 567 -> 922)
     # buying extra fallback trips — watch the late windows.
     "ppack": {"lookup_poly_pack": True},
+    # round-5: margin row folded into a0 (3 aux gathers, EXACT — shared
+    # power-of-two margins measured against the quantized evaluation).
+    # The probe ladder prices the remaining poly gathers at ~37% of the
+    # loop; the r4d pack flip (5 -> 4 gathers) bought +3%, this rung
+    # (4 -> 3) targets the same cut.  Risk: wider shared margins buy
+    # fallback trips — watch the late windows.
+    "mfold": {"lookup_margin_fold": True},
 }
 
 

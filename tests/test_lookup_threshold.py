@@ -114,7 +114,8 @@ def test_tail_waves_preserve_outcomes(mode, waves):
 
 
 def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False,
-                           table=None, patch_bits=None, poly_pack=False):
+                           table=None, patch_bits=None, poly_pack=False,
+                           margin_fold=False):
     if table is None:
         table = _mk_table()
     split2d, remove2d, n_chunks = _pad_tables(table)
@@ -122,7 +123,8 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False,
         pack_threshold_full(table)
         if mode in ("staticfull", "staticfull2")
         else pack_poly_thresholds(table, degree=2 if poly_pack else 4,
-                                  pack_bf16=poly_pack)
+                                  pack_bf16=poly_pack,
+                                  fold_margin=margin_fold)
         if mode == "polythresh"
         else pack_threshold_table(table)
         if mode in ("threshold", "staticthresh", "staticthresh_m",
@@ -133,7 +135,8 @@ def _check_lookup_outcomes(mode, hits, tail_waves=0, cand_gate=False,
     lookup = make_chunked_lookup(n_chunks, mode, static_chunks=3, hits=hits,
                                  tail_waves=tail_waves, cand_gate=cand_gate,
                                  poly_degree=2 if poly_pack else 4,
-                                 poly_pack=poly_pack)
+                                 poly_pack=poly_pack,
+                                 margin_fold=margin_fold)
 
     # energies spread over the whole table; (8, 128) tile
     rs = np.random.default_rng(3)
@@ -334,6 +337,137 @@ def test_polythresh_pack_decided_and_margin_lanes(hits):
         np.float32
     )
     val, dls, dlt, _ = _poly_pack_mirror(aux_np, idx.reshape(-1))
+    val = val.reshape(shape)
+    t_hat = np.where(np.isnan(val), 8 << 20, val).astype(np.int64)
+    off = rs.integers(-3000, 3000, shape)
+    p24 = np.clip(t_hat + off, 0, (1 << 24) - 1).astype(np.uint32)
+    low8 = rs.integers(0, 256, shape, dtype=np.uint64).astype(np.uint32)
+    bits = (p24 << np.uint32(8)) | low8
+    u = np.asarray(rng.uniform_from_bits(jnp.asarray(bits), 0.0, 100.0))
+
+    sp, rm = jax.jit(
+        lambda e, uu, b: lookup(split2d, remove2d, aux, e, uu, b)
+    )(jnp.asarray(energy), jnp.asarray(u), jnp.asarray(bits))
+    sp, rm = np.asarray(sp), np.asarray(rm)
+
+    tn = np.asarray(table)
+    split_true = tn[idx, 0]
+    tot_true = tn[idx, 0].astype(np.float32) + tn[idx, 1].astype(np.float32)
+    if hits:
+        np.testing.assert_array_equal(sp, u < split_true)
+        np.testing.assert_array_equal(rm, u < tot_true)
+    else:
+        np.testing.assert_array_equal(u < sp, u < split_true)
+        np.testing.assert_array_equal(u < sp + rm, u < tot_true)
+
+
+def _poly_fold_mirror(aux_np, idx):
+    """Numpy mirror of the FOLDED polythresh evaluation
+    (lookup_margin_fold): row 0 = bf16 pair, row 1 = (a0q << 8) |
+    margin_exp, row 2 = chunk-0 exact row, row 3 = candidate bound."""
+    hi = idx // LANES
+    lo = idx % LANES
+    pk = aux_np[0][hi]
+    c2 = (pk & np.int32(-65536)).view(np.float32)
+    c1 = (pk << 16).view(np.float32)
+    am = aux_np[1][hi]
+    a0 = ((am >> 8).astype(np.float32) * np.float32(4.0)
+          - np.float32(2097152.0)).astype(np.float32)
+    delta = ((am & 0xFF) << 23).astype(np.int32).view(np.float32)
+    exact0 = aux_np[2].view(np.float32)
+    xs = ((lo.astype(np.float32) - np.float32(63.5))
+          * np.float32(1.0 / 63.5))
+    val = ((c2 * xs).astype(np.float32) + c1).astype(np.float32)
+    val = ((val * xs).astype(np.float32) + a0).astype(np.float32)
+    val = np.where(hi == 0, exact0[lo], val)
+    return val, delta, exact0
+
+
+def test_poly_fold_margins_are_sound():
+    """The margin-fold exactness proof (lookup_margin_fold, the round-5
+    gather rung): the Horner value rebuilt from the bf16 pair + 23-bit
+    quantized a0 sits within the SHARED power-of-two margin of the exact
+    24-bit split threshold (and 2*value within it of the total one) for
+    every fitted bucket; unfitted chunks stay NaN; the fitted window must
+    not collapse vs the 4-gather pack; the candidate bound (row 3) is
+    still the global max total threshold.  Exhaustive over all 10000
+    buckets of the bundled sine table."""
+    table = jnp.asarray(load_table())
+    aux_np = np.asarray(
+        pack_poly_thresholds(table, 2, pack_bf16=True, fold_margin=True)
+    )
+    ts = np.asarray(_exact_threshold(table[:, 0].astype(jnp.float32)))
+    tt = np.asarray(
+        _exact_threshold(
+            table[:, 0].astype(jnp.float32) + table[:, 1].astype(jnp.float32)
+        )
+    )
+    idx = np.arange(10000)
+    val, delta, _ = _poly_fold_mirror(aux_np, idx)
+    decided = ~np.isnan(val)
+    np.testing.assert_array_equal(val[:LANES], ts[:LANES].astype(np.float32))
+    # the fold must not shrink the fitted window vs the 4-gather pack
+    aux_pk = np.asarray(pack_poly_thresholds(table, 2, pack_bf16=True))
+    val_pk = _poly_pack_mirror(aux_pk, idx)[0]
+    assert decided.sum() == (~np.isnan(val_pk)).sum()
+    # sound shared margins, per bucket, with headroom to spare
+    err_s = np.abs(val[decided] - ts[decided])
+    err_t = np.abs(2.0 * val[decided] - tt[decided])
+    assert np.all(err_s <= delta[decided] - _POLY_PAD / 2)
+    assert np.all(err_t <= delta[decided] - _POLY_PAD / 2)
+    # deltas are exact powers of two (the exponent-byte encoding)
+    d = delta[decided]
+    assert np.all(d == np.exp2(np.round(np.log2(d))))
+    # bounded blowup vs the 4-gather pack: the shared power-of-two delta
+    # is at most 2x the pack's larger margin plus the a0-quantization pad
+    # (pow2ceil(x) < 2x), chunk by chunk
+    mg = aux_pk[2]
+    pack_worst = np.maximum((mg >> 16) & 0xFFFF, mg & 0xFFFF).astype(
+        np.float32
+    )
+    hi = idx // LANES
+    ok = decided & (hi > 0)
+    assert np.all(delta[ok] <= 2.0 * (pack_worst[hi] + 16.0)[ok])
+    # chunk 0 (the E=0 attractor) keeps a tight margin
+    assert delta[:LANES].max() <= 64.0
+    np.testing.assert_array_equal(aux_np[3], tt.max())
+
+
+@pytest.mark.parametrize("hits", [False, True])
+def test_polythresh_fold_preserves_outcomes(hits):
+    """lookup_margin_fold end-to-end through the lookup: the random table
+    fits no chunk (all-NaN fallback), and the spiky 60-capped table
+    exercises the candidate gate on the folded layout."""
+    _check_lookup_outcomes("polythresh", hits, poly_pack=True,
+                           margin_fold=True)
+    _check_lookup_outcomes("polythresh", hits, poly_pack=True,
+                           margin_fold=True, cand_gate=True,
+                           table=_mk_table(spike=60.0))
+
+
+@pytest.mark.parametrize("hits", [False, True])
+def test_polythresh_fold_decided_and_margin_lanes(hits):
+    """Folded-layout variant of the decided/margin-lane test: payloads
+    engineered just inside and outside the shared margin around both
+    thresholds, plus chunk-0 and escapee lanes — every decided path and
+    the fallback must reproduce the exact f32 outcomes."""
+    table = jnp.asarray(load_table())
+    split2d, remove2d, n_chunks = _pad_tables(table)
+    aux = pack_poly_thresholds(table, 2, pack_bf16=True, fold_margin=True)
+    lookup = make_chunked_lookup(n_chunks, "polythresh", hits=hits,
+                                 poly_degree=2, poly_pack=True,
+                                 margin_fold=True)
+
+    rs = np.random.default_rng(17)
+    shape = (8, LANES)
+    aux_np = np.asarray(aux)
+    idx = rs.integers(0, 10000, shape)
+    idx[0] = rs.integers(0, LANES, LANES)                    # chunk 0
+    idx[1:5] = rs.integers(LANES, 11 * LANES, (4, LANES))    # fitted-ish
+    energy = np.power(10.0, 22.0 * (idx + 0.5) / N_STEPS - 6.0).astype(
+        np.float32
+    )
+    val, delta, _ = _poly_fold_mirror(aux_np, idx.reshape(-1))
     val = val.reshape(shape)
     t_hat = np.where(np.isnan(val), 8 << 20, val).astype(np.int64)
     off = rs.integers(-3000, 3000, shape)

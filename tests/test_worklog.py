@@ -184,6 +184,11 @@ BASE = SimConfig(
         # packed decided path in-engine
         BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
                      lookup_poly_pack=True),
+        # margin-fold (3 aux gathers, the r5 rung): a0 quantized + shared
+        # power-of-two margin in its low byte — const table fits exactly,
+        # exercising the folded decided path in-engine
+        BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
+                     lookup_poly_pack=True, lookup_margin_fold=True),
         # spawn-guard: the child-staging select+store block runs under a
         # per-step any(spawn) branch — skipped stores must never be ones a
         # spawn needed, so the multiset must stay bit-exact
@@ -204,7 +209,7 @@ BASE = SimConfig(
          "hits", "hits-guard", "pipeband", "bucketed", "bucketed-suspend",
          "horizon", "horizon-aligned", "horizon-suspend", "horizon-mixed",
          "polythresh", "polythresh-hits", "polythresh-d5",
-         "polythresh-cgate", "polythresh-pack",
+         "polythresh-cgate", "polythresh-pack", "polythresh-fold",
          "spawn-guard", "spawn-guard-suspend"],
 )
 def test_worklog_matches_sync_oracle(cfg, const_table):
@@ -217,27 +222,35 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
 
 
 @pytest.mark.parametrize(
-    "lookup_mode,cand_gate,pack",
-    [pytest.param("staticthresh", False, False, marks=pytest.mark.slow),
+    "lookup_mode,cand_gate,pack,fold",
+    [pytest.param("staticthresh", False, False, False,
+                  marks=pytest.mark.slow),
      # realistic fits: the sine table's fitted prefix decides most lanes,
      # margin/escapee lanes exercise the fallback inside the engine
-     pytest.param("polythresh", False, False, marks=pytest.mark.slow),
+     pytest.param("polythresh", False, False, False,
+                  marks=pytest.mark.slow),
      # candidate gate ACTIVE: the sine table's bound (max total ~10%)
      # excludes ~90% of lanes per step from the fallback set — the
      # multiset must stay bit-exact vs the oracle (slow since the r4d
      # pack flip made this a non-default engine)
-     pytest.param("polythresh", True, False, marks=pytest.mark.slow),
+     pytest.param("polythresh", True, False, False,
+                  marks=pytest.mark.slow),
      # packed coefficients on the REAL table (the r4 default engine):
      # bf16-widened margins route more lanes to the fallback, outcomes
      # must stay bit-exact
-     ("polythresh", True, True)],
+     pytest.param("polythresh", True, True, False,
+                  marks=pytest.mark.slow),
+     # margin-fold on the REAL table (the r5 candidate default): shared
+     # power-of-two margins widen further, outcomes must stay bit-exact
+     ("polythresh", True, True, True)],
 )
-def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate, pack):
+def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate, pack,
+                                   fold):
     # the default table needs velocity spread before collisions kick in;
     # run longer so the growth regime is exercised
     cfg = BASE.replace(poisson_steps=3, poisson_timestep=8, init_n=500,
                        lookup_mode=lookup_mode, lookup_cand_gate=cand_gate,
-                       lookup_poly_pack=pack)
+                       lookup_poly_pack=pack, lookup_margin_fold=fold)
     oracle_state, oracle_m = run_steps(cfg.replace(scheduler="sync"), sine_table)
     wl_state, wl_m = run_steps(cfg.replace(scheduler="dynamic"), sine_table)
     assert wl_m == oracle_m
