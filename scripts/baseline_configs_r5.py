@@ -1,0 +1,120 @@
+"""Record BASELINE.json configs 3 and 4 (VERDICT r4 #4) as committed
+artifacts.
+
+  cfg3 "Large single-chip: 1M -> 10M electrons, FFT Poisson on fine grid,
+        fused push+MCC Pallas kernel": init 1M, capacity 12M, a constant
+        growth table tuned so 5 Poisson steps x T=50 multiply the
+        population ~10x (m = 10^(1/250) per mobility step), field_model=
+        'fft' on the 256^3 grid (the finest the chip's HBM comfortably
+        holds alongside a 12M-slot container), fused worklog engine.
+  cfg4 "Collision-heavy stress: collision every mobility step, PRNG +
+        table-lookup bound": the bundled constant 50/50 table (split+
+        remove = 100 -> EVERY draw collides), 1M electrons, T=100.
+
+Each run goes through the production runtime (run_pic_device: bucket
+ladder, chunked dispatches, row metrics) and appends one JSON object to
+out/data/baseline_cfg34.json with pushes/s and ms/Poisson-step.
+
+Usage: python scripts/baseline_configs_r5.py [cfg3|cfg4] ...
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "out", "data", "baseline_cfg34.json")
+
+
+def record(name, run, note):
+    steps = [
+        {"step": s.step, "n": s.n, "added": s.added, "removed": s.removed,
+         "wall_s": round(s.wall_s, 4), "pushes": s.pushes}
+        for s in run.steps
+    ]
+    total_pushes = sum(s.pushes for s in run.steps)
+    rec = {
+        "config": name,
+        "note": note,
+        "final_n": run.final_n,
+        "device_time_ms": round(run.device_time_ms, 1),
+        "pushes_per_sec": total_pushes / (run.device_time_ms / 1e3),
+        "ms_per_poisson_step_last": round(run.steps[-1].wall_s * 1e3, 1),
+        "steps": steps,
+    }
+    rows = []
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            rows = json.load(f)
+    rows = [r for r in rows if r["config"] != name] + [rec]
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"{name}: final_n={run.final_n} "
+          f"{rec['pushes_per_sec']:.4g} pushes/s "
+          f"{rec['ms_per_poisson_step_last']} ms/step(last) -> {OUT}")
+
+
+def cfg3():
+    from particle_simulation_tpu import SimConfig
+    from particle_simulation_tpu.cross_section import N_STEPS, write_table
+    from particle_simulation_tpu.runtime import run_pic_device
+
+    m = 10.0 ** (1.0 / 250.0)          # per-mobility-step growth for 10x
+    split = 2.0
+    remove = split - 100.0 * (m - 1.0)
+    td = tempfile.mkdtemp()
+    path = os.path.join(td, "growth.txt")
+    write_table(path, np.full((N_STEPS, 2), 0.0, np.float32)
+                + np.asarray([split, remove], np.float32))
+    cfg = SimConfig(
+        init_n=1_000_000,
+        capacity=12_000_000,
+        poisson_steps=5,
+        poisson_timestep=50,
+        grid_size=(256, 256, 256),
+        scheduler="dynamic",
+        field_model="fft",
+        cross_section_path=path,
+    )
+    run = run_pic_device(cfg, chunk_steps=1)
+    assert run.final_n > 5_000_000, f"growth fell short: {run.final_n}"
+    record(
+        "cfg3_large_growth_fft", run,
+        "1M->10M electrons, constant growth table m=10^(1/250)/step, "
+        "T=50 x 5 Poisson steps, FFT Poisson field on 256^3, fused "
+        "worklog engine, capacity-ladder runtime",
+    )
+
+
+def cfg4():
+    from particle_simulation_tpu import SimConfig
+    from particle_simulation_tpu.cross_section import bundled_paths
+    from particle_simulation_tpu.runtime import run_pic_device
+
+    cfg = SimConfig(
+        init_n=1_000_000,
+        capacity=2_000_000,
+        poisson_steps=5,
+        poisson_timestep=100,
+        grid_size=(256, 256, 256),
+        scheduler="dynamic",
+        cross_section_path=bundled_paths()[1],  # constant 50/50
+    )
+    run = run_pic_device(cfg, chunk_steps=1)
+    record(
+        "cfg4_collision_stress", run,
+        "constant 50/50 table: every draw collides every mobility step "
+        "(split+remove=100) — PRNG + table-lookup bound; 1M electrons, "
+        "T=100 x 5 Poisson steps",
+    )
+
+
+if __name__ == "__main__":
+    for name in (sys.argv[1:] or ["cfg4", "cfg3"]):
+        {"cfg3": cfg3, "cfg4": cfg4}[name]()
