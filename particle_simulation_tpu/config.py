@@ -159,8 +159,28 @@ class SimConfig:
     # evaluation at pack time and only ever widen (shared max, rounded up
     # to a power of two), which moves lanes into the exact fallback, never
     # changes a decided outcome.  Requires lookup_poly_pack + degree 2
-    # (auto-disabled otherwise).  Default decided by the r5 chip A/B.
+    # (auto-disabled otherwise).  Default decided by the r5 chip A/B:
+    # LOST (1.301 vs 1.323e9 best, late window 0.959 vs 0.999) — the
+    # shared power-of-two margins buy more fallback trips than the saved
+    # gather returns.  Kept as a flag with full oracle/soundness coverage.
     lookup_margin_fold: bool = False
+    # Fit-quality cap (in 24-bit threshold counts) deciding how far the
+    # polythresh fitted window extends (push_mcc.pack_poly_thresholds).
+    # The r3i value 1024 fits sine chunks 1..10 with tight margins; the
+    # late-window escapee attack (r5) raises it so chunks 11..22 join
+    # with FAT-but-sound margins (up to ~52k of 2^24) — an escapee lane
+    # trips the fallback on every candidate draw (~9% of lane-steps),
+    # a fat-margin fitted lane only inside the margin (~0.6%), so window
+    # width beats margin tightness once the population heats past chunk
+    # 10.  The 16-bit margin field is a hard representability ceiling
+    # enforced regardless of this cap (a clipped margin would be
+    # unsound).  Margins stay measured; exactness is unconditional.
+    # Default flipped 1024 -> 60000 after the r5b/r5c chip A/Bs
+    # (2026-08-20): best window ties base (1.313/1.319 vs 1.311e9) but
+    # the late windows jump +4% and +15% (window 3: 1.15 vs 1.00e9), the
+    # exact late-window escapee cost the r4 probe ladder isolated;
+    # final_n bit-exact.  (wide+mfold re-tested and still loses.)
+    lookup_poly_err_cap: float = 60000.0
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

@@ -821,7 +821,8 @@ _POLY_ERR_CAP = 1024.0
 _POLY_PAD = 8.0
 
 
-def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False):
+def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False,
+                         err_cap=None):
     """(n, 2) chance table -> (8-padded degree+4, 128) i32 pack for the
     ``polythresh`` lookup: a per-chunk least-squares polynomial fit of the
     EXACT 24-bit split threshold T(split) (see _exact_threshold) replaces
@@ -952,7 +953,20 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False):
     err_s = jnp.max(jnp.abs(val - ts_p.astype(jnp.float32)), axis=1)
     err_t = jnp.max(jnp.abs(val + val - tt_p.astype(jnp.float32)), axis=1)
 
-    ok = (err_s <= _POLY_ERR_CAP) & (err_t <= 2.0 * _POLY_ERR_CAP + 2.0)
+    # fit-quality gate: a chunk joins the fitted window only while its
+    # margins stay sound AND representable.  ``err_cap`` (config
+    # lookup_poly_err_cap) trades window width against margin tightness:
+    # the r5 window-extension insight is that a chunk with a FAT margin is
+    # still far cheaper than an unfitted one (an escapee lane pays a
+    # fallback trip on every candidate draw, ~9% of lane-steps for the
+    # sine table; a fitted lane with delta=50000 only on the ~0.6% of
+    # draws inside the margin).  The hard ceiling is the 16-bit margin
+    # field: a clipped margin would be UNSOUND, so the gate enforces
+    # representability whatever the cap says.
+    cap = _POLY_ERR_CAP if err_cap is None else float(err_cap)
+    cap_s = min(cap, float(0xFFFF) - _POLY_PAD)
+    cap_t = min(2.0 * cap + 2.0, float(0xFFFF) - 2.0 * _POLY_PAD)
+    ok = (err_s <= cap_s) & (err_t <= cap_t)
     ok = ok.at[0].set(False)  # chunk 0 never uses its (meaningless) fit
     # fitted chunks form the longest ok-prefix of 1..C-1 (the sine table's
     # phase velocity grows with energy, so errors are monotone-ish; a

@@ -831,6 +831,7 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
             fold_margin=config.lookup_margin_fold
             and config.lookup_poly_pack
             and config.lookup_poly_degree == 2,
+            err_cap=config.lookup_poly_err_cap,
         )                                          # (8-padded degree+3, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")

@@ -230,6 +230,15 @@ VARIANTS = {
     # (4 -> 3) targets the same cut.  Risk: wider shared margins buy
     # fallback trips — watch the late windows.
     "mfold": {"lookup_margin_fold": True},
+    # round-5 late-window escapee attack: extend the polythresh fitted
+    # window from sine chunks 1..10 to 1..22 by raising the fit-error cap
+    # to the 16-bit margin ceiling — ZERO extra gathers, fat-but-sound
+    # margins.  Escapee lanes trip the fallback on ~9% of draws (the
+    # cand-gate pass rate); fat-margin fitted lanes only inside the
+    # margin (~0.6%) — the late windows heat into exactly chunks 11..22.
+    "wide": {"lookup_poly_err_cap": 60000.0},
+    "wide+mfold": {"lookup_poly_err_cap": 60000.0,
+                   "lookup_margin_fold": True},
 }
 
 

@@ -433,6 +433,41 @@ def test_poly_fold_margins_are_sound():
     np.testing.assert_array_equal(aux_np[3], tt.max())
 
 
+def test_poly_wide_cap_margins_are_sound():
+    """The round-5 window extension (lookup_poly_err_cap): raising the fit
+    cap to the 16-bit margin ceiling must (a) extend the sine table's
+    fitted window past chunk 20, (b) keep every margin representable
+    (never clipped — a clipped margin would be unsound), and (c) keep the
+    per-bucket soundness property with the pad to spare."""
+    table = jnp.asarray(load_table())
+    aux_np = np.asarray(
+        pack_poly_thresholds(table, 2, pack_bf16=True, err_cap=60000.0)
+    )
+    ts = np.asarray(_exact_threshold(table[:, 0].astype(jnp.float32)))
+    tt = np.asarray(
+        _exact_threshold(
+            table[:, 0].astype(jnp.float32) + table[:, 1].astype(jnp.float32)
+        )
+    )
+    idx = np.arange(10000)
+    val, dls, dlt, _ = _poly_pack_mirror(aux_np, idx)
+    decided = ~np.isnan(val)
+    n_fit = decided[LANES:].sum() // LANES
+    assert n_fit >= 20, f"window did not extend ({n_fit} chunks)"
+    assert decided[LANES:].sum() == n_fit * LANES, "fitted region not a prefix"
+    # representability: margins below the 16-bit field, strictly (no clip)
+    assert dls[decided].max() < 0xFFFF and dlt[decided].max() < 0xFFFF
+    # soundness per bucket with headroom
+    err_s = np.abs(val[decided] - ts[decided])
+    err_t = np.abs(2.0 * val[decided] - tt[decided])
+    assert np.all(err_s <= dls[decided] - _POLY_PAD / 2)
+    assert np.all(err_t <= dlt[decided] - _POLY_PAD / 2)
+    # the low chunks must KEEP their tight per-chunk margins (the window
+    # extension must not fatten the band the population starts in)
+    aux_base = np.asarray(pack_poly_thresholds(table, 2, pack_bf16=True))
+    np.testing.assert_array_equal(aux_np[2][:11], aux_base[2][:11])
+
+
 @pytest.mark.parametrize("hits", [False, True])
 def test_polythresh_fold_preserves_outcomes(hits):
     """lookup_margin_fold end-to-end through the lookup: the random table

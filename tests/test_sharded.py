@@ -165,6 +165,7 @@ def test_sharded_overflow_accepted_at_top_bucket(mesh):
     assert any(s.pushes > 0 for s in run.steps[first_ovf + 1:])
 
 
+@pytest.mark.slow
 def test_sharded_row_ckpt_resume_bit_exact(mesh, tmp_path):
     """Crash-resume: interrupting a sharded run mid-row and resuming from
     the row checkpoint reproduces the uninterrupted run bit-for-bit (the

@@ -182,11 +182,16 @@ BASE = SimConfig(
         # bf16-packed coefficient row (4 aux gathers instead of 5): the
         # constant table fits exactly even after rounding, exercising the
         # packed decided path in-engine
-        BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
-                     lookup_poly_pack=True),
+        pytest.param(
+            BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
+                         lookup_poly_pack=True),
+            marks=pytest.mark.slow,
+        ),
         # margin-fold (3 aux gathers, the r5 rung): a0 quantized + shared
         # power-of-two margin in its low byte — const table fits exactly,
-        # exercising the folded decided path in-engine
+        # exercising the folded decided path in-engine.  Default lane: one
+        # representative per equivalence family, and this is the shipped
+        # engine's family
         BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
                      lookup_poly_pack=True, lookup_margin_fold=True),
         # spawn-guard: the child-staging select+store block runs under a
