@@ -38,13 +38,17 @@ def record(name, run, note):
         for s in run.steps
     ]
     total_pushes = sum(s.pushes for s in run.steps)
+    last = run.steps[-1]
     rec = {
         "config": name,
         "note": note,
         "final_n": run.final_n,
         "device_time_ms": round(run.device_time_ms, 1),
+        # whole-run rate (first chunk includes the jit compile through the
+        # remote tunnel) and the steady rate of the last Poisson step
         "pushes_per_sec": total_pushes / (run.device_time_ms / 1e3),
-        "ms_per_poisson_step_last": round(run.steps[-1].wall_s * 1e3, 1),
+        "pushes_per_sec_steady": last.pushes / last.wall_s,
+        "ms_per_poisson_step_last": round(last.wall_s * 1e3, 1),
         "steps": steps,
     }
     rows = []
@@ -115,6 +119,36 @@ def cfg4():
     )
 
 
+
+
+def cfg3_fixed():
+    """cfg3 at a pinned top bucket (w_start=capacity): no ladder redos, so
+    per-step walls are pure simulation — the steady-state row (the laddered
+    run above it documents the avalanche-with-redos cost)."""
+    from particle_simulation_tpu import SimConfig
+    from particle_simulation_tpu.cross_section import N_STEPS, write_table
+    from particle_simulation_tpu.runtime import run_pic_device
+
+    m = 10.0 ** (1.0 / 250.0)
+    split = 2.0
+    remove = split - 100.0 * (m - 1.0)
+    td = tempfile.mkdtemp()
+    path = os.path.join(td, "growth.txt")
+    write_table(path, np.full((N_STEPS, 2), 0.0, np.float32)
+                + np.asarray([split, remove], np.float32))
+    cfg = SimConfig(
+        init_n=1_000_000, capacity=12_000_000, poisson_steps=5,
+        poisson_timestep=50, grid_size=(256, 256, 256),
+        scheduler="dynamic", field_model="fft", cross_section_path=path,
+    )
+    run = run_pic_device(cfg, chunk_steps=1, w_start=12_000_000)
+    record(
+        "cfg3_large_growth_fft_fixed_bucket", run,
+        "same scenario pinned at the 12M top bucket (no ladder redos): "
+        "per-step walls are pure simulation + FFT field",
+    )
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or ["cfg4", "cfg3"]):
-        {"cfg3": cfg3, "cfg4": cfg4}[name]()
+        {"cfg3": cfg3, "cfg4": cfg4, "cfg3fixed": cfg3_fixed}[name]()
