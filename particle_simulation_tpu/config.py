@@ -181,6 +181,14 @@ class SimConfig:
     # exact late-window escapee cost the r4 probe ladder isolated;
     # final_n bit-exact.  (wide+mfold re-tested and still loses.)
     lookup_poly_err_cap: float = 60000.0
+    # Polythresh fit objective: "lsq" (one static-pinv matmul) or
+    # "minimax" (Lawson IRLS, 40 batched reweighted-LSQ iterations at
+    # pack time) — the margin IS the max fit error, so minimizing the
+    # max instead of the L2 norm shrinks every measured margin ~1.4-2x
+    # (sine chunk 20: 20503 -> 13133) and extends the fitted window two
+    # more chunks before the 16-bit ceiling, at zero kernel cost.
+    # Margins stay measured; exactness is unconditional either way.
+    lookup_poly_fit: str = "lsq"
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic
     # fori_loop trip costs ~2x a static visit because the loop-carried

@@ -822,7 +822,7 @@ _POLY_PAD = 8.0
 
 
 def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False,
-                         err_cap=None):
+                         err_cap=None, fit="lsq"):
     """(n, 2) chance table -> (8-padded degree+4, 128) i32 pack for the
     ``polythresh`` lookup: a per-chunk least-squares polynomial fit of the
     EXACT 24-bit split threshold T(split) (see _exact_threshold) replaces
@@ -922,6 +922,31 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False,
     basis = np.stack([xs_np**k for k in range(degree + 1)], axis=1)
     pinv = np.linalg.pinv(basis)  # (degree+1, LANES), static f64 constant
     coef = y @ jnp.asarray(pinv.T, jnp.float32)      # (C, degree+1) low->high
+    if fit == "minimax":
+        # Lawson's iteratively-reweighted LSQ converges to the L-infinity
+        # (minimax) fit: the margin IS the max error, so minimizing the max
+        # rather than the L2 norm shrinks every measured margin (~2x for
+        # smooth chunks) and lets the fitted window extend further before
+        # hitting the 16-bit ceiling — at ZERO kernel cost (fit quality
+        # only moves the undecided rate; margins stay measured, so
+        # exactness is untouched).  Batched per chunk; normal equations in
+        # f32 are well-conditioned on the [-1,1]-scaled basis.
+        B = jnp.asarray(basis, jnp.float32)          # (L, d+1)
+        w = jnp.ones_like(y)
+
+        def lawson(_, carry):
+            w, coef = carry
+            G = jnp.einsum("cl,lk,lj->ckj", w, B, B)
+            rhs = jnp.einsum("cl,lk,cl->ck", w, B, y)
+            coef = jnp.linalg.solve(
+                G + 1e-6 * jnp.eye(B.shape[1])[None], rhs[..., None]
+            )[..., 0]
+            r = jnp.abs(y - coef @ B.T) + 1e-3
+            w = w * r
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+            return w, coef
+
+        _, coef = jax.lax.fori_loop(0, 40, lawson, (w, coef))
     cf = coef[:, ::-1]                               # high->low (Horner)
     if fold_margin and not pack_bf16:
         raise ValueError("fold_margin requires pack_bf16 (degree 2)")

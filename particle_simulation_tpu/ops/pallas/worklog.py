@@ -832,6 +832,7 @@ def _sweep(src, done, work, table, scalars, config: SimConfig):
             and config.lookup_poly_pack
             and config.lookup_poly_degree == 2,
             err_cap=config.lookup_poly_err_cap,
+            fit=config.lookup_poly_fit,
         )                                          # (8-padded degree+3, L) i32
     elif config.lookup_mode in ("threshold", "staticguard") or (
         config.lookup_mode.startswith("staticthresh")

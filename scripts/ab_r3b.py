@@ -239,6 +239,10 @@ VARIANTS = {
     "wide": {"lookup_poly_err_cap": 60000.0},
     "wide+mfold": {"lookup_poly_err_cap": 60000.0,
                    "lookup_margin_fold": True},
+    # round-5: minimax (Lawson) fit — margins shrink 1.4-2x and the
+    # fitted window gains two chunks at zero kernel cost; targets the
+    # remaining late-window tie rate in the fat chunks
+    "mmax": {"lookup_poly_fit": "minimax"},
 }
 
 

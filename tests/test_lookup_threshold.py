@@ -433,15 +433,19 @@ def test_poly_fold_margins_are_sound():
     np.testing.assert_array_equal(aux_np[3], tt.max())
 
 
-def test_poly_wide_cap_margins_are_sound():
+@pytest.mark.parametrize("fit", ["lsq", "minimax"])
+def test_poly_wide_cap_margins_are_sound(fit):
     """The round-5 window extension (lookup_poly_err_cap): raising the fit
     cap to the 16-bit margin ceiling must (a) extend the sine table's
     fitted window past chunk 20, (b) keep every margin representable
     (never clipped — a clipped margin would be unsound), and (c) keep the
-    per-bucket soundness property with the pad to spare."""
+    per-bucket soundness property with the pad to spare.  Parametrized
+    over the fit objective: the Lawson minimax fit must satisfy the same
+    soundness (margins are measured, not modeled, for any fit)."""
     table = jnp.asarray(load_table())
     aux_np = np.asarray(
-        pack_poly_thresholds(table, 2, pack_bf16=True, err_cap=60000.0)
+        pack_poly_thresholds(table, 2, pack_bf16=True, err_cap=60000.0,
+                             fit=fit)
     )
     ts = np.asarray(_exact_threshold(table[:, 0].astype(jnp.float32)))
     tt = np.asarray(
@@ -465,7 +469,17 @@ def test_poly_wide_cap_margins_are_sound():
     # the low chunks must KEEP their tight per-chunk margins (the window
     # extension must not fatten the band the population starts in)
     aux_base = np.asarray(pack_poly_thresholds(table, 2, pack_bf16=True))
-    np.testing.assert_array_equal(aux_np[2][:11], aux_base[2][:11])
+    if fit == "lsq":
+        np.testing.assert_array_equal(aux_np[2][:11], aux_base[2][:11])
+    else:
+        # minimax: margins must improve in AGGREGATE over LSQ (per chunk
+        # they may wiggle a few counts — Lawson equalizes the residual)
+        base_mg = aux_base[2][1:11]
+        mg = aux_np[2][1:11]
+        for shift in (16, 0):
+            b = (base_mg >> shift) & 0xFFFF
+            m = (mg >> shift) & 0xFFFF
+            assert m.sum() < b.sum() and m.max() <= b.max(), (shift, m, b)
 
 
 @pytest.mark.parametrize("hits", [False, True])
