@@ -182,18 +182,19 @@ BASE = SimConfig(
         # bf16-packed coefficient row (4 aux gathers instead of 5): the
         # constant table fits exactly even after rounding, exercising the
         # packed decided path in-engine
+        # the SHIPPED engine family (pack + wide window, fold off) stays
+        # in the default lane
+        BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
+                     lookup_poly_pack=True),
+        # margin-fold (3 aux gathers, the r5 rung — measured SLOWER on
+        # chip, kept as a flag): a0 quantized + shared power-of-two
+        # margin in its low byte — const table fits exactly, exercising
+        # the folded decided path in-engine
         pytest.param(
             BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
-                         lookup_poly_pack=True),
+                         lookup_poly_pack=True, lookup_margin_fold=True),
             marks=pytest.mark.slow,
         ),
-        # margin-fold (3 aux gathers, the r5 rung): a0 quantized + shared
-        # power-of-two margin in its low byte — const table fits exactly,
-        # exercising the folded decided path in-engine.  Default lane: one
-        # representative per equivalence family, and this is the shipped
-        # engine's family
-        BASE.replace(lookup_mode="polythresh", lookup_poly_degree=2,
-                     lookup_poly_pack=True, lookup_margin_fold=True),
         # spawn-guard: the child-staging select+store block runs under a
         # per-step any(spawn) branch — skipped stores must never be ones a
         # spawn needed, so the multiset must stay bit-exact
@@ -240,14 +241,15 @@ def test_worklog_matches_sync_oracle(cfg, const_table):
      # pack flip made this a non-default engine)
      pytest.param("polythresh", True, False, False,
                   marks=pytest.mark.slow),
-     # packed coefficients on the REAL table (the r4 default engine):
+     # packed coefficients on the REAL table (the SHIPPED engine):
      # bf16-widened margins route more lanes to the fallback, outcomes
      # must stay bit-exact
-     pytest.param("polythresh", True, True, False,
-                  marks=pytest.mark.slow),
-     # margin-fold on the REAL table (the r5 candidate default): shared
-     # power-of-two margins widen further, outcomes must stay bit-exact
-     ("polythresh", True, True, True)],
+     ("polythresh", True, True, False),
+     # margin-fold on the REAL table (measured slower on chip; flag):
+     # shared power-of-two margins widen further, outcomes must stay
+     # bit-exact
+     pytest.param("polythresh", True, True, True,
+                  marks=pytest.mark.slow)],
 )
 def test_worklog_sine_table_growth(sine_table, lookup_mode, cand_gate, pack,
                                    fold):
