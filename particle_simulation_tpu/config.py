@@ -188,6 +188,16 @@ class SimConfig:
     # (sine chunk 20: 20503 -> 13133) and extends the fitted window two
     # more chunks before the 16-bit ceiling, at zero kernel cost.
     # Margins stay measured; exactness is unconditional either way.
+    # Default stays "lsq": the r5d/e/f chip A/B ladder measured minimax
+    # at 0.81 / 1.02 / 1.21e9 vs base 1.31e9 (bit-exact final_n each
+    # time) across three implementations (lax.fori_loop + LU custom
+    # call; + closed-form Cramer solve; fully unrolled straight-line) —
+    # the fit is traced INTO the engines' jitted programs (they take the
+    # raw table as the jit argument) and its work demonstrably does not
+    # get hoisted/amortized, swamping the real margin win (1.4-2x
+    # tighter, see the soundness test).  The principled fix is packing
+    # the aux table ONCE at the host boundary and passing it in — an
+    # engine-protocol change left as future work.
     lookup_poly_fit: str = "lsq"
     # Wave-unroll width for the staticthresh-family DYNAMIC tail sweeps
     # (the over-tail and the exact tie fallback).  A per-chunk dynamic

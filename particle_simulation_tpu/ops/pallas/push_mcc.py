@@ -934,19 +934,44 @@ def pack_poly_thresholds(table, degree=4, pack_bf16=False, fold_margin=False,
         B = jnp.asarray(basis, jnp.float32)          # (L, d+1)
         w = jnp.ones_like(y)
 
-        def lawson(_, carry):
-            w, coef = carry
+        def solve3(G, rhs):
+            # closed-form batched 3x3 solve (Cramer / adjugate): pure
+            # elementwise ops — unlike jnp.linalg.solve's LU custom call,
+            # this is hoistable loop-invariant code (the r5d A/B measured
+            # the custom-call version costing 38% of the STEP because it
+            # re-executed inside the jitted scan)
+            a, b, c = G[:, 0, 0], G[:, 0, 1], G[:, 0, 2]
+            d, e, f = G[:, 1, 0], G[:, 1, 1], G[:, 1, 2]
+            g, h, i = G[:, 2, 0], G[:, 2, 1], G[:, 2, 2]
+            A = e * i - f * h
+            Bm = -(d * i - f * g)
+            Cm = d * h - e * g
+            det = a * A + b * Bm + c * Cm
+            inv_det = 1.0 / det
+            x0 = rhs[:, 0] * A + rhs[:, 1] * (c * h - b * i) \
+                + rhs[:, 2] * (b * f - c * e)
+            x1 = rhs[:, 0] * Bm + rhs[:, 1] * (a * i - c * g) \
+                + rhs[:, 2] * (c * d - a * f)
+            x2 = rhs[:, 0] * Cm + rhs[:, 1] * (b * g - a * h) \
+                + rhs[:, 2] * (a * e - b * d)
+            return jnp.stack([x0, x1, x2], axis=1) * inv_det[:, None]
+
+        # UNROLLED python-for, deliberately: a lax.fori_loop is a control
+        # -flow op that XLA's loop-invariant code motion cannot hoist out
+        # of the engine's Poisson scan, so the whole fit re-executed per
+        # scan iteration (r5d/e A/Bs: -22% to -38% on the STEP).  Straight
+        # -line ops hoist like the lsq matmul does.
+        for _ in range(40):
             G = jnp.einsum("cl,lk,lj->ckj", w, B, B)
             rhs = jnp.einsum("cl,lk,cl->ck", w, B, y)
-            coef = jnp.linalg.solve(
-                G + 1e-6 * jnp.eye(B.shape[1])[None], rhs[..., None]
-            )[..., 0]
+            G = G + 1e-6 * jnp.eye(B.shape[1])[None]
+            if degree == 2:
+                coef = solve3(G, rhs)
+            else:
+                coef = jnp.linalg.solve(G, rhs[..., None])[..., 0]
             r = jnp.abs(y - coef @ B.T) + 1e-3
             w = w * r
             w = w / jnp.sum(w, axis=1, keepdims=True)
-            return w, coef
-
-        _, coef = jax.lax.fori_loop(0, 40, lawson, (w, coef))
     cf = coef[:, ::-1]                               # high->low (Horner)
     if fold_margin and not pack_bf16:
         raise ValueError("fold_margin requires pack_bf16 (degree 2)")
