@@ -400,11 +400,15 @@ def _out_of_time(budget_s):
 def _hint_fingerprint(config):
     """Identity of the measured workload: a hint recorded for a different
     config (or after growth-reducing code changes bump this string) must
-    not pin future captures to a stale bucket (ADVICE r4)."""
+    not pin future captures to a stale bucket (ADVICE r4).  Includes
+    every field that determines the settled bucket — growth depends on
+    the draw stream (seed/rng) and the table, not just the shape
+    (same field set as runtime._row_ckpt_tag)."""
     g = "x".join(str(x) for x in config.grid_size)
     return (
         f"{config.init_n}/{config.capacity}/T{config.poisson_timestep}/"
-        f"{g}/{config.scheduler}/v1"
+        f"{g}/{config.scheduler}/{config.seed}/{config.rng_mode}/"
+        f"{config.rng_rounds}/{config.cross_section_path or 'bundled'}/v1"
     )
 
 

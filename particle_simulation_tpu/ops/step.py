@@ -179,6 +179,10 @@ def _check_stamp_domain(config: SimConfig) -> None:
         raise ValueError(
             f"worklog_unroll={config.worklog_unroll} unsupported (1, 2, 4 or 8)"
         )
+    if config.lookup_poly_fit not in ("lsq", "minimax"):
+        raise ValueError(f"unknown lookup_poly_fit {config.lookup_poly_fit!r}")
+    if config.full_deposit not in ("scatter", "sorted"):
+        raise ValueError(f"unknown full_deposit {config.full_deposit!r}")
     if config.scheduler == "dynamic_old" and config.kernel_sublanes > 128:
         raise ValueError(
             f"kernel_sublanes={config.kernel_sublanes} exceeds the staged "

@@ -202,8 +202,9 @@ def _shardmap_step(mesh: Mesh, config: SimConfig):
         from ..ops.step import field_acceleration
 
         def replicated_acc(_):
-            charge_local = grid_ops.deposit(
-                state.pos, weight, config.cell_size, config.grid_size
+            charge_local = grid_ops.deposit_dispatch(
+                state.pos, weight, config.cell_size, config.grid_size,
+                mode=config.full_deposit,
             )
             charge = jax.lax.psum(charge_local, "dp")
             return field_acceleration(charge, state.pos, weight, config)
@@ -516,8 +517,11 @@ def run_pic_sharded(config: SimConfig, mesh: Mesh, table=None, **kwargs):
     """Multi-chip run_pic, compat surface: returns (state, history) where
     history is a list of per-step metric dicts.  Since round 5 this rides
     the first-class runtime (run_pic_sharded_device: bucket ladder +
-    device-resident chunks + overflow redo), which is bit-exact vs the old
-    per-step host loop."""
+    device-resident chunks + overflow redo) — physics is bit-exact vs the
+    old per-step host loop, with one history-shape caveat: if the
+    population dies mid-chunk, the remaining steps of that chunk appear
+    as no-op rows (n=0, added=0) that the old loop's per-step early exit
+    never emitted (matching single-chip run_pic_device's behavior)."""
     run = run_pic_sharded_device(config, mesh, table, **kwargs)
     history = [
         {
